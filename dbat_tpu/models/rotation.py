@@ -1,0 +1,84 @@
+"""Euler rotations for the DBAT camera convention.
+
+Convention (reference: code/bundle/cameramodel/eulerrotmat.m,
+code/bundle/cameramodel/eulerpinhole2.m:52): the stored EO angles are
+omega-phi-kappa; the object-to-camera rotation used by the projection is
+
+    M_w2c = (R1(omega) @ R2(phi) @ R3(kappa)).T
+          = R3(-kappa) @ R2(-phi) @ R1(-omega)
+
+with the standard right-handed elementary rotations (counter-clockwise
+positive; reference code/bundle/cameramodel/eulerrotmat.m:110-124).
+The legacy path (code/bundle/cammodel/pm_eulerrotmat.m 'opk') builds the
+same matrix, and code/photogrammetry/derotmat3d.m decomposes it back.
+
+Everything here is pure jnp so that jax.jacfwd provides exact analytic
+Jacobians (replacing the reference's hand-derived Lucas-1963 products).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def r1(a):
+    """Rotation about x by angle a (CCW). Ref eulerrotmat.m:110-113."""
+    c, s = jnp.cos(a), jnp.sin(a)
+    z, o = jnp.zeros_like(a), jnp.ones_like(a)
+    return jnp.stack(
+        [jnp.stack([o, z, z]), jnp.stack([z, c, -s]), jnp.stack([z, s, c])]
+    )
+
+
+def r2(a):
+    """Rotation about y by angle a (CCW). Ref eulerrotmat.m:116-119."""
+    c, s = jnp.cos(a), jnp.sin(a)
+    z, o = jnp.zeros_like(a), jnp.ones_like(a)
+    return jnp.stack(
+        [jnp.stack([c, z, s]), jnp.stack([z, o, z]), jnp.stack([-s, z, c])]
+    )
+
+
+def r3(a):
+    """Rotation about z by angle a (CCW). Ref eulerrotmat.m:122-124."""
+    c, s = jnp.cos(a), jnp.sin(a)
+    z, o = jnp.zeros_like(a), jnp.ones_like(a)
+    return jnp.stack(
+        [jnp.stack([c, -s, z]), jnp.stack([s, c, z]), jnp.stack([z, z, o])]
+    )
+
+
+_ELEM = {1: r1, 2: r2, 3: r3}
+
+
+def euler_rotmat(ang, seq: int = 123, fixed: bool = False):
+    """General Euler rotation matrix, any axis sequence.
+
+    Mirrors eulerrotmat(ang, seq, fixed) (eulerrotmat.m:56-82):
+    seq is a 3-digit integer of axis ids (1=x,2=y,3=z); `fixed` selects
+    fixed-frame (M3@M2@M1) vs moving-frame (M1@M2@M3) composition.
+    """
+    i1, i2, i3 = seq // 100, (seq // 10) % 10, seq % 10
+    m1 = _ELEM[i1](ang[0])
+    m2 = _ELEM[i2](ang[1])
+    m3 = _ELEM[i3](ang[2])
+    if fixed:
+        return m3 @ m2 @ m1
+    return m1 @ m2 @ m3
+
+
+def world_to_cam_matrix(ang):
+    """M_w2c = euler_rotmat(ang,123,False).T  (eulerpinhole2.m:52)."""
+    return euler_rotmat(ang, 123, False).T
+
+
+def decompose_w2c(M):
+    """(omega, phi, kappa) from a world-to-camera matrix.
+
+    Mirrors code/photogrammetry/derotmat3d.m: phi=asin(M[2,0]),
+    omega=atan2(-M[2,1],M[2,2]), kappa=atan2(-M[1,0],M[0,0]).
+    """
+    phi = jnp.arcsin(jnp.clip(M[2, 0], -1.0, 1.0))
+    omega = jnp.arctan2(-M[2, 1], M[2, 2])
+    kappa = jnp.arctan2(-M[1, 0], M[0, 0])
+    return jnp.stack([omega, phi, kappa])
