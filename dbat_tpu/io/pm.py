@@ -1,0 +1,160 @@
+"""PhotoModeler text-export loader.
+
+Reads the same format as the reference's code/file/loadpm.m into a
+`PmProject` of plain numpy arrays:
+
+  line 1: title
+  line 2: tol maxIter [imWidth imHeight]
+  line 3: default point stdevs
+  line 4: default camera [c xp yp xs ys K1 K2 K3 P1 P2]
+  line 5: default camera stdevs
+  photo blocks (until a block starts with a blank line):
+      N FILE
+      N X Y Z KAPPA PHI OMEGA          (m / degrees)
+      N std...
+      N cov... | blank                 (position covariances, often absent)
+      N c xp yp xs ys K1 K2 K3 P1 P2
+      N std...
+  blank-terminated control point list  [id x y z sx sy sz]
+  blank-terminated object point list   [id x y z sx sy sz]
+  blank-terminated mark point list     [photo id x y sx sy]
+  (optional features / feature-visibility blocks, ignored)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class PmImage:
+    name: str
+    outer: np.ndarray  # [X,Y,Z,kappa,phi,omega] (m, degrees) as in file
+    outer_std: np.ndarray
+    outer_cov: np.ndarray
+    inner: np.ndarray  # [c,xp,yp,xs,ys,K1,K2,K3,P1,P2]
+    inner_std: np.ndarray
+    im_size: np.ndarray  # [w,h] px
+    id: int
+    label: str = ""
+
+
+@dataclass
+class PmProject:
+    file_name: str
+    title: str
+    tol: float
+    max_iter: float
+    def_std: np.ndarray
+    def_cam: np.ndarray
+    def_cam_std: np.ndarray
+    im_size: np.ndarray
+    images: list = field(default_factory=list)
+    ctrl_pts: np.ndarray = None  # (n,7) [id,x,y,z,sx,sy,sz]
+    check_pts: np.ndarray = None
+    obj_pts: np.ndarray = None  # (n,7)
+    mark_pts: np.ndarray = None  # (n,6) [photo,id,x,y,sx,sy]
+
+
+def _numbers(s: str) -> np.ndarray:
+    return np.array([float(t) for t in s.split()], dtype=np.float64)
+
+
+def load_pm(path: str, im_size=None) -> PmProject:
+    """Parse a PhotoModeler export file (ref code/file/loadpm.m)."""
+    with open(path, "rt") as fh:
+        lines = fh.read().splitlines()
+    it = iter(lines)
+
+    title = next(it)
+    tol = _numbers(next(it))
+    def_std = _numbers(next(it))
+    def_cam = _numbers(next(it))
+    def_cam_std = _numbers(next(it))
+
+    global_im_size = np.array([np.nan, np.nan])
+    if im_size is not None:
+        global_im_size = np.asarray(im_size, dtype=np.float64)
+    elif len(tol) > 2:
+        global_im_size = tol[2:4]
+
+    images = []
+    # Photo blocks (loadpm.m:140-211). Each block: name line, outer,
+    # outerStd, outerCov (possibly blank), inner, innerStd. The photo
+    # sequence is terminated by a blank line where a name line is
+    # expected.
+    while True:
+        try:
+            s = next(it)
+        except StopIteration:
+            break
+        parts = s.split(None, 1)
+        if not parts:
+            break  # blank terminates photo sequence
+        im_name = parts[1] if len(parts) > 1 else ""
+        outer = _numbers(next(it))[1:]
+        outer_std = _numbers(next(it))[1:]
+        cov_line = _numbers(next(it))
+        outer_cov = cov_line[1:] if cov_line.size else np.full(3, np.nan)
+        inner = _numbers(next(it))[1:]
+        inner_std = _numbers(next(it))[1:]
+        images.append(
+            PmImage(
+                name=im_name.replace("\\", "/"),
+                outer=outer,
+                outer_std=outer_std,
+                outer_cov=outer_cov,
+                inner=inner,
+                inner_std=inner_std,
+                im_size=global_im_size.copy(),
+                id=len(images) + 1,
+                label=im_name.replace("\\", "/"),
+            )
+        )
+
+    def read_table(ncols_min):
+        rows = []
+        while True:
+            try:
+                s = next(it)
+            except StopIteration:
+                break
+            v = _numbers(s)
+            if v.size == 0:
+                break
+            rows.append(v)
+        if not rows:
+            return np.zeros((0, ncols_min))
+        return np.vstack(rows)
+
+    ctrl_pts = read_table(7)
+    obj_pts = read_table(7)
+    mark_pts = read_table(6)
+
+    # Use image names sans longest common path as labels (loadpm.m:215-234).
+    names = [im.name for im in images]
+    if names:
+        import os.path as osp
+
+        common = osp.dirname(osp.commonprefix(names))
+        if common:
+            for im in images:
+                im.label = im.name[len(common) + 1:]
+
+    return PmProject(
+        file_name=path,
+        title=title,
+        tol=float(tol[0]),
+        max_iter=float(tol[1]) if len(tol) > 1 else np.nan,
+        def_std=def_std,
+        def_cam=def_cam,
+        def_cam_std=def_cam_std,
+        im_size=global_im_size,
+        images=images,
+        ctrl_pts=ctrl_pts,
+        check_pts=np.zeros((0, 7)),
+        obj_pts=obj_pts,
+        mark_pts=mark_pts,
+    )

@@ -1,0 +1,224 @@
+"""Top-level bundle adjustment driver (ref code/bundle/bundle.m).
+
+Usage:
+    result, ok, iters, sigma0, E = bundle(project, damping="gna", trace=True)
+
+Damping options mirror the reference: 'none'/'gm', 'gna' (default),
+'lm', 'lmp'.  Termination: relative angle criterion
+||Jp|| <= tol*||r|| by default, absolute ||r|| <= tol with
+`abs_term=True` (bundle.m:177-192).  Chirality veto implements the
+depth-positivity guard the reference wires but never shipped
+(bundle.m:168-172 references a missing chirality.m — see SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.serial import build_serial, deserialize, serialize
+from .ops import BundleOps
+from . import solvers
+
+
+@dataclass
+class BundleInfo:
+    """Iteration/diagnostic info (the reference's E struct)."""
+
+    damping: dict = field(default_factory=dict)
+    res_norms: list = field(default_factory=list)
+    trace: np.ndarray = None  # (n_x, n_iter+1)
+    code: int = 0
+    used_iters: int = 0
+    time: float = 0.0
+    sigma0: float = np.nan
+    num_obs: int = 0
+    num_params: int = 0
+    redundancy: int = 0
+    param_types: list = field(default_factory=list)
+    weakness: dict = field(default_factory=dict)
+    ops: object = None
+    spec: object = None
+    final_factorized: object = None  # cached covariance factorization
+    sigmas: np.ndarray = None
+
+
+def chirality_veto(ops):
+    """Depth-positivity veto: reject a trial point if any observed
+    object point has non-positive depth in its camera.
+
+    The reference requests this via vetoFun=@chirality (bundle.m:168)
+    but ships no implementation; this is the real thing, built on the
+    pointdepth primitive (code/photogrammetry/pointdepth.m).
+    """
+    from ..models.rotation import world_to_cam_matrix
+    import jax
+
+    def depths(x):
+        io, eo, op = ops.params_of_x(x)
+        C = eo[ops.obs_img, 0:3]
+        ang = eo[ops.obs_img, 3:6]
+        X = op[ops.obs_pt]
+
+        def depth1(Xi, Ci, ai):
+            return (world_to_cam_matrix(ai) @ (Xi - Ci))[2]
+
+        return jax.vmap(depth1)(X, C, ang)
+
+    d_jit = jax.jit(depths)
+
+    def veto(x):
+        # Depth is negative in front of the camera for this convention
+        # (projection uses -f); veto when any depth is >= 0.
+        return bool(jnp.any(d_jit(x) >= 0))
+
+    return veto
+
+
+def bundle(
+    project,
+    damping: str = "gna",
+    max_iter: int = 20,
+    conv_tol: float = 1e-6,
+    abs_term: bool = False,
+    singular_test: bool = True,
+    veto: bool = False,
+    pm_dof: bool = False,
+    trace: bool = False,
+    dtype=jnp.float64,
+):
+    """Run the damped bundle adjustment on a Project.
+
+    Returns (project, ok, iters, sigma0, info). `project` is updated
+    in place with converged values and posterior residuals.
+    """
+    damping = damping.lower()
+    if damping not in ("none", "gm", "gna", "lm", "lmp"):
+        raise ValueError(f"Unknown damping {damping!r}")
+
+    # Est/prior consistency (bundle.m:137-154).
+    for est, use, nm in (
+        (project.est_io, project.prior_io_use, "IO"),
+        (project.est_eo, project.prior_eo_use, "EO"),
+        (project.est_op, project.prior_op_use, "OP"),
+    ):
+        bad = use & ~est
+        if bad.any():
+            import warnings
+
+            warnings.warn(
+                f"Some {nm} parameters are set to both fixed and observed; "
+                f"setting to fixed."
+            )
+            use[bad] = False
+
+    spec = build_serial(project)
+    ops = BundleOps(project, spec, dtype=dtype)
+    x0 = ops.x0()
+
+    if bool(jnp.any(jnp.isnan(x0))):
+        raise ValueError("Initial values contain NaN (uninitialized EO/OP?)")
+
+    if abs_term:
+        term_fun = lambda jp, r: r <= conv_tol  # noqa: E731
+    else:
+        term_fun = lambda jp, r: jp <= conv_tol * r  # noqa: E731
+
+    veto_fun = chirality_veto(ops) if veto else None
+
+    t0 = time.time()
+    if damping in ("none", "gm"):
+        res = solvers.gauss_markov(
+            ops, x0, max_iter=max_iter, term_fun=term_fun,
+            singular_test=singular_test, do_trace=trace,
+        )
+    elif damping == "gna":
+        res = solvers.gauss_newton_armijo(
+            ops, x0, max_iter=max_iter, term_fun=term_fun,
+            mu=0.1, alpha_min=1e-9, singular_test=singular_test,
+            veto_fun=veto_fun, do_trace=trace,
+        )
+    elif damping == "lm":
+        res = solvers.levenberg_marquardt(
+            ops, x0, max_iter=max_iter, term_fun=term_fun,
+            lambda0=-1e-10, lambda_min=-1e-10, veto_fun=veto_fun,
+            do_trace=trace,
+        )
+    else:
+        res = solvers.levenberg_marquardt_powell(
+            ops, x0, max_iter=max_iter, term_fun=term_fun,
+            rho_bad=0.25, rho_good=0.75, veto_fun=veto_fun, do_trace=trace,
+        )
+    elapsed = time.time() - t0
+
+    info = BundleInfo(
+        damping=res.damping,
+        res_norms=res.res_norms,
+        trace=np.stack(res.trace, axis=1) if res.trace else None,
+        code=res.code,
+        used_iters=res.iters,
+        time=elapsed,
+        ops=ops,
+        spec=spec,
+    )
+
+    ok = res.code == solvers.OK
+    x = jnp.asarray(res.x)
+
+    if ok:
+        io, eo, op = deserialize(spec, x, ops.base_io, ops.base_eo, ops.base_op)
+        project.io = np.asarray(io)
+        project.eo = np.asarray(eo)
+        project.op = np.asarray(op)
+
+    # Weakness forensics (bundle.m:370-446).
+    info.weakness = {"structural": None, "numerical": None}
+    if res.code == solvers.STRUCT_RANK_DEFICIENT:
+        unmatched = ops.unmatched_columns()
+        info.weakness["structural"] = {
+            "rank": ops.n_x - len(unmatched),
+            "deficiency": len(unmatched),
+            "suspected_params": unmatched,
+        }
+    if res.code == solvers.SINGULAR:
+        from .forensics import numerical_rank_analysis
+
+        info.weakness["numerical"] = numerical_rank_analysis(ops, x)
+
+    # sigma0 (bundle.m:464-491): sqrt(r'Wr/dof).
+    rw = res.final_rw
+    extra = 0
+    if pm_dof:
+        vis_pt = np.zeros(project.n_op, bool)
+        vis_pt[project.obs_pt] = True
+        vis_img = np.zeros(project.n_img, bool)
+        vis_img[project.obs_img] = True
+        extra = int((~project.est_op[vis_pt]).sum()) + int(
+            (~project.est_eo[vis_img][:, :6]).sum()
+        )
+    dof = len(rw) + extra - ops.n_x if rw is not None else 0
+    sigma0 = float(np.sqrt(rw @ rw / dof)) if rw is not None and dof > 0 else np.nan
+
+    info.sigma0 = sigma0
+    info.num_obs = len(rw) if rw is not None else 0
+    info.num_params = ops.n_x
+    info.redundancy = dof
+    info.sigmas = sigma0 * np.asarray(project.ip_sigmas)
+
+    # Posterior residual scatter-back (bundle.m:448-462), in px for IP.
+    r_unw = np.asarray(ops.residuals(x))
+    n2 = 2 * ops.n_obs
+    ip_res_mm = r_unw[:n2].reshape(-1, 2)
+    px = np.asarray(ops.px_obs)
+    project_post = {
+        "ip_res_px": ip_res_mm / px[:, None],
+        "prior_res": r_unw[n2:],
+        "sigma0": sigma0,
+        "sigmas": info.sigmas,
+    }
+    project.post = project_post
+
+    return project, ok, res.iters, sigma0, info
