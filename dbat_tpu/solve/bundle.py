@@ -89,6 +89,7 @@ def bundle(
     pm_dof: bool = False,
     trace: bool = False,
     dtype=jnp.float64,
+    backend: str = "auto",
 ):
     """Run the damped bundle adjustment on a Project.
 
@@ -116,7 +117,18 @@ def bundle(
             use[bad] = False
 
     spec = build_serial(project)
-    ops = BundleOps(project, spec, dtype=dtype)
+    if backend == "auto":
+        # Dense N is exact and fastest while n_x^2 stays small; the
+        # Schur reduced camera system wins beyond that.
+        backend = "dense" if spec.n_x <= 2000 else "schur"
+    if backend == "dense":
+        ops = BundleOps(project, spec, dtype=dtype)
+    elif backend == "schur":
+        from .schur import SchurOps
+
+        ops = SchurOps(project, spec, dtype=dtype)
+    else:
+        raise ValueError(f"Unknown backend {backend!r}")
     x0 = ops.x0()
 
     if bool(jnp.any(jnp.isnan(x0))):

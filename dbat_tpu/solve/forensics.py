@@ -17,8 +17,8 @@ def numerical_rank_analysis(ops, x, tol_factor: float = 1e4):
     parameters from small-eigenvalue eigenvectors."""
     import jax.numpy as jnp
 
-    N, g, rw = ops.normal(jnp.asarray(x))
-    N = np.asarray(N)
+    st = ops.normal(jnp.asarray(x))
+    N = np.asarray(st.N)
     d = np.sqrt(np.diag(N))
     d[d == 0] = 1.0
     Ns = N / d[:, None] / d[None, :]

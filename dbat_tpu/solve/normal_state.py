@@ -1,0 +1,60 @@
+"""Normal-equation state objects.
+
+A solver iteration needs only these operations on N = J'WJ (plus the
+gradient g = J'Wr and the weighted residual):
+
+    diag()            -- diagonal of N (column norms^2 for scaling)
+    matvec(p)         -- N @ p          (termination, dogleg geometry)
+    solve(rhs, lam)   -- solve (N + lam*I) x = rhs; report singularity
+    trace_diag()      -- sum(diag(N))   (LM lambda auto-scale)
+
+Two backends implement it: DenseNormalState (explicit N; exact oracle,
+small/medium networks) and the Schur-complement state in schur.py
+(reduced camera system, point blocks eliminated; scales to large
+networks and shards over devices).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=())
+def _dense_solve(N, rhs, lam):
+    """Jacobi-scaled Cholesky solve of (N + lam I) x = rhs.
+
+    Column scaling mirrors gauss_newton_armijo.m:146-174; it changes
+    conditioning only, not the solution."""
+    Nd = N + lam * jnp.eye(N.shape[0], dtype=N.dtype)
+    d = jnp.sqrt(jnp.diagonal(Nd))
+    d = jnp.where(d > 0, d, 1.0)
+    Dinv = 1.0 / d
+    Ns = Nd * Dinv[:, None] * Dinv[None, :]
+    L = jnp.linalg.cholesky(Ns)
+    y = jax.scipy.linalg.solve_triangular(L, Dinv * rhs, lower=True)
+    q = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    return Dinv * q, L
+
+
+class DenseNormalState:
+    def __init__(self, N, g, rw):
+        self.N = N
+        self.g = g
+        self.rw = rw
+        self.n_x = N.shape[0]
+
+    def diag(self):
+        return jnp.diagonal(self.N)
+
+    def matvec(self, p):
+        return self.N @ p
+
+    def trace_diag(self):
+        return float(jnp.sum(jnp.diagonal(self.N)))
+
+    def solve(self, rhs, lam: float = 0.0):
+        sol, L = _dense_solve(self.N, rhs, lam)
+        failed = bool(jnp.any(jnp.isnan(L)))
+        return sol, failed

@@ -103,7 +103,7 @@ class BundleOps:
         # Jitted entry points.
         self.residuals = jax.jit(self._residuals)
         self.weighted_residual = jax.jit(self._weighted_residual)
-        self.normal = jax.jit(self._normal)
+        self._normal_jit = jax.jit(self._normal)
 
     # -- parameter handling -------------------------------------------------
     def params_of_x(self, x):
@@ -167,6 +167,13 @@ class BundleOps:
 
         rw = jnp.concatenate([vw.reshape(-1), r_pr])
         return N[:nx, :nx], g[:nx], rw
+
+    def normal(self, x):
+        """Normal-equation state at x (see normal_state.py)."""
+        from .normal_state import DenseNormalState
+
+        N, g, rw = self._normal_jit(x)
+        return DenseNormalState(N, g, rw)
 
     # -- structural rank ----------------------------------------------------
     def structural_rank(self) -> int:

@@ -1,0 +1,295 @@
+"""Schur-complement reduced camera system.
+
+This is the TPU-native replacement for the reference's sparse
+normal-equation factorization with OP-first ordering
+(code/bundle/bundle_cov.m:83-99 and the `\\` solve in
+gauss_newton_armijo.m:165-174): eliminating the object points first
+from a bundle normal matrix leaves a small dense camera system — the
+classical reduced normal equations.  On TPU we never form a sparse
+matrix at all:
+
+    N = [ U   Wc ]     U : (n_c,n_c) dense camera/IO block
+        [ Wc' V  ]     V : (n_op,3,3) block-diagonal point blocks
+                       Wc: one (n_cb,3) block per *observation*
+
+    S  = U - sum_j Wc_j V_j^-1 Wc_j'          (reduced camera system)
+    pc = S^-1 (bc - sum_j Wc_j V_j^-1 bp_j)
+    pp_j = V_j^-1 (bp_j - Wc_j' pc)           (batched 3x3 solves)
+
+All sums are segment-sums / scatter-adds over static index arrays; the
+S fill-in is accumulated from per-observation-pair (n_cb,n_cb) outer
+products in fixed-size chunks (lax.scan) so peak memory is bounded.
+Partially fixed point coordinates are handled by masking V to the
+identity on fixed coordinates.
+
+Sharding: every per-observation and per-point array can be sharded on
+its leading axis; U, V, S partial sums then combine with psum — see
+dbat_tpu/parallel.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops import BundleOps
+from .normal_state import DenseNormalState
+
+
+def _build_pairs(obs_pt: np.ndarray):
+    """All ordered observation pairs within each point's observation
+    list. Returns (i1, i2) arrays; total = sum_j k_j^2."""
+    order = np.argsort(obs_pt, kind="stable")
+    sorted_pt = obs_pt[order]
+    starts = np.flatnonzero(np.diff(sorted_pt, prepend=-1))
+    counts = np.diff(np.append(starts, len(obs_pt)))
+    i1, i2 = [], []
+    for s, c in zip(starts, counts):
+        idx = order[s:s + c]
+        g1, g2 = np.meshgrid(idx, idx, indexing="ij")
+        i1.append(g1.reshape(-1))
+        i2.append(g2.reshape(-1))
+    return np.concatenate(i1), np.concatenate(i2)
+
+
+class SchurOps(BundleOps):
+    """BundleOps with a Schur-complement normal backend."""
+
+    def __init__(self, project, spec, dtype=jnp.float64, pair_chunk=32768):
+        super().__init__(project, spec, dtype=dtype)
+        self.n_c = spec.n_io + spec.n_eo
+        self.n_cb = self.cols.shape[1] - 3  # NC + 6
+        self.cam_cols = self.cols[:, : self.n_cb]  # x indices (< n_c) or -1
+        self.op_xidx = jnp.asarray(spec.op_x, jnp.int32)  # (n_op,3)
+        self.op_mask = jnp.asarray(spec.op_x >= 0, dtype)  # est-coordinate mask
+        self.n_pt = project.n_op
+
+        # Prior split: io/eo priors have x < n_c; op priors x >= n_c.
+        pr_x = np.asarray(self.prior_x)
+        cam_sel = np.flatnonzero(pr_x < self.n_c)
+        op_sel = np.flatnonzero(pr_x >= self.n_c)
+        self.cam_prior_sel = jnp.asarray(cam_sel, jnp.int32)
+        self.cam_prior_x = jnp.asarray(pr_x[cam_sel], jnp.int32)
+        self.op_prior_sel = jnp.asarray(op_sel, jnp.int32)
+
+        # Map op prior -> (point, coord) via inverse of spec.op_x
+        op_x = np.asarray(spec.op_x)
+        inv = np.full(spec.n_x + 1, -1, dtype=np.int64)
+        flat = op_x.reshape(-1)
+        valid = flat >= 0
+        inv[flat[valid]] = np.arange(flat.size)[valid]
+        op_pr_flat = inv[pr_x[op_sel]]
+        self.op_prior_pt = jnp.asarray(op_pr_flat // 3, jnp.int32)
+        self.op_prior_coord = jnp.asarray(op_pr_flat % 3, jnp.int32)
+
+        # Observation pairs for the S fill-in.
+        i1, i2 = _build_pairs(np.asarray(project.obs_pt))
+        self.n_pairs = len(i1)
+        pc = pair_chunk
+        pad = (-len(i1)) % pc
+        # Padding pairs point at a scratch observation (index n_obs) whose
+        # camera columns are all -1 -> scatter to the dump row.
+        i1 = np.concatenate([i1, np.full(pad, self.n_obs)])
+        i2 = np.concatenate([i2, np.full(pad, self.n_obs)])
+        self.pair_i1 = jnp.asarray(i1.reshape(-1, pc), jnp.int32)
+        self.pair_i2 = jnp.asarray(i2.reshape(-1, pc), jnp.int32)
+
+        self._assemble = jax.jit(self._assemble_impl)
+        self._solve_jit = jax.jit(self._solve_impl)
+        self._matvec_jit = jax.jit(self._matvec_impl)
+
+    # ------------------------------------------------------------------
+    # x layout <-> (camera, padded point) split
+    # ------------------------------------------------------------------
+    def split_x(self, v):
+        vc = v[: self.n_c]
+        P = jnp.where(self.op_xidx >= 0, v[jnp.clip(self.op_xidx, 0, None)], 0.0)
+        return vc, P
+
+    def join_x(self, vc, P):
+        mask = self.op_xidx >= 0
+        flat_idx = jnp.where(mask, self.op_xidx, self.n_x).reshape(-1)
+        v = jnp.zeros(self.n_x + 1, self.dtype).at[flat_idx].set(P.reshape(-1))
+        return v[: self.n_x].at[: self.n_c].set(vc)
+
+    # ------------------------------------------------------------------
+    # Assembly
+    # ------------------------------------------------------------------
+    def _assemble_impl(self, x):
+        io, eo, op = self.params_of_x(x)
+        v, jio, jeo, jop = self._jac_fn(
+            io[self.obs_img], eo[self.obs_img], op[self.obs_pt],
+            self.ip_px, self.px_obs,
+        )
+        A = jnp.concatenate([jio, jeo], axis=2) * self.w_ip[:, :, None]
+        B = jop * self.w_ip[:, :, None]
+        # Mask fixed point coordinates out of B.
+        B = B * self.op_mask[self.obs_pt][:, None, :]
+        vw = v * self.w_ip
+
+        nc = self.n_c
+        ccols = jnp.where(self.cam_cols >= 0, self.cam_cols, nc)
+
+        # U: camera-camera block.
+        Ublk = jnp.einsum("nka,nkb->nab", A, A)
+        U = jnp.zeros((nc + 1, nc + 1), self.dtype)
+        U = U.at[ccols[:, :, None], ccols[:, None, :]].add(Ublk)
+
+        # V: per-point 3x3 blocks.
+        Vblk = jnp.einsum("nka,nkb->nab", B, B)
+        V = jax.ops.segment_sum(Vblk, self.obs_pt, num_segments=self.n_pt)
+
+        # W: per-observation camera-point cross blocks.
+        Wb = jnp.einsum("nka,nkb->nab", A, B)  # (n_obs, n_cb, 3)
+
+        # gradients
+        gc = jnp.zeros(nc + 1, self.dtype)
+        gc = gc.at[ccols].add(jnp.einsum("nka,nk->na", A, vw))
+        gp = jax.ops.segment_sum(
+            jnp.einsum("nka,nk->na", B, vw), self.obs_pt, num_segments=self.n_pt
+        )
+
+        # Priors.
+        r_pr = (x[self.prior_x] - self.prior_val) * self.prior_w
+        if self.cam_prior_x.shape[0]:
+            w_c = self.prior_w[self.cam_prior_sel]
+            U = U.at[self.cam_prior_x, self.cam_prior_x].add(w_c**2)
+            gc = gc.at[self.cam_prior_x].add(w_c * r_pr[self.cam_prior_sel])
+        if self.op_prior_sel.shape[0]:
+            w_o = self.prior_w[self.op_prior_sel]
+            V = V.at[self.op_prior_pt, self.op_prior_coord,
+                     self.op_prior_coord].add(w_o**2)
+            gp = gp.at[self.op_prior_pt, self.op_prior_coord].add(
+                w_o * r_pr[self.op_prior_sel]
+            )
+
+        # Fixed coordinates: identity diagonal so 3x3 inverses exist.
+        m = self.op_mask  # (n_op,3)
+        V = (
+            V * m[:, :, None] * m[:, None, :]
+            + jnp.eye(3, dtype=self.dtype) * (1.0 - m)[:, :, None]
+        )
+        gp = gp * m
+
+        rw = jnp.concatenate([vw.reshape(-1), r_pr])
+        return U[:nc, :nc], V, Wb, gc[:nc], gp, rw
+
+    # ------------------------------------------------------------------
+    def _schur_S(self, U, Vinv, Wb, lam):
+        """S = U + lam I - sum_pairs W_i1 Vinv_j W_i2', chunked."""
+        nc = self.n_c
+        ccols = jnp.where(self.cam_cols >= 0, self.cam_cols, nc)
+        # Scratch row for padded pairs / fixed cols.
+        ccols_pad = jnp.concatenate(
+            [ccols, jnp.full((1, self.n_cb), nc, jnp.int32)], axis=0
+        )
+        Wb_pad = jnp.concatenate(
+            [Wb, jnp.zeros((1, self.n_cb, 3), self.dtype)], axis=0
+        )
+        pt_pad = jnp.concatenate([self.obs_pt, jnp.zeros(1, jnp.int32)])
+
+        S0 = jnp.zeros((nc + 1, nc + 1), self.dtype)
+        S0 = S0.at[:nc, :nc].set(U + lam * jnp.eye(nc, dtype=self.dtype))
+
+        def body(S, pair):
+            i1, i2 = pair
+            W1 = Wb_pad[i1]  # (pc, n_cb, 3)
+            W2 = Wb_pad[i2]
+            Vi = Vinv[pt_pad[i1]]  # (pc, 3, 3)
+            contrib = jnp.einsum("pac,pcd,pbd->pab", W1, Vi, W2)
+            c1 = ccols_pad[i1]
+            c2 = ccols_pad[i2]
+            S = S.at[c1[:, :, None], c2[:, None, :]].add(-contrib)
+            return S, None
+
+        S, _ = jax.lax.scan(body, S0, (self.pair_i1, self.pair_i2))
+        return S[:nc, :nc]
+
+    def _solve_impl(self, U, V, Wb, rhs, lam):
+        nc = self.n_c
+        rc, rp = self.split_x(rhs)
+        eyel = lam * jnp.eye(3, dtype=self.dtype) * self.op_mask[:, :, None]
+        Vinv = jnp.linalg.inv(V + eyel)
+
+        S = self._schur_S(U, Vinv, Wb, lam)
+
+        # rc_tilde = rc - sum_i W_i (Vinv rp)_pt(i)
+        t = jnp.einsum("nab,nb->na", Vinv[self.obs_pt], rp[self.obs_pt])
+        contrib = jnp.einsum("nab,nb->na", Wb, t)  # (n_obs, n_cb)
+        ccols = jnp.where(self.cam_cols >= 0, self.cam_cols, nc)
+        rc_t = jnp.zeros(nc + 1, self.dtype).at[ccols].add(-contrib)[:nc] + rc
+
+        # Jacobi-scaled Cholesky on S.
+        d = jnp.sqrt(jnp.clip(jnp.diagonal(S), 1e-300, None))
+        Dinv = 1.0 / d
+        Ss = S * Dinv[:, None] * Dinv[None, :]
+        L = jnp.linalg.cholesky(Ss)
+        y = jax.scipy.linalg.solve_triangular(L, Dinv * rc_t, lower=True)
+        pc = Dinv * jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+
+        # rp_tilde = rp - Npc pc ; pp = Vinv rp_tilde
+        pc_pad = jnp.concatenate([pc, jnp.zeros(1, self.dtype)])
+        pcg = pc_pad[ccols]  # (n_obs, n_cb)
+        down = jnp.einsum("nab,na->nb", Wb, pcg)  # (n_obs, 3)
+        rp_t = rp - jax.ops.segment_sum(down, self.obs_pt, num_segments=self.n_pt)
+        pp = jnp.einsum("nab,nb->na", Vinv, rp_t) * self.op_mask
+
+        return self.join_x(pc, pp), L
+
+    def _matvec_impl(self, U, V, Wb, p):
+        nc = self.n_c
+        pc, P = self.split_x(p)
+        ccols = jnp.where(self.cam_cols >= 0, self.cam_cols, nc)
+        pc_pad = jnp.concatenate([pc, jnp.zeros(1, self.dtype)])
+        pcg = pc_pad[ccols]
+
+        yc = U @ pc
+        up = jnp.einsum("nab,nb->na", Wb, P[self.obs_pt])  # (n_obs,n_cb)
+        yc = (jnp.zeros(nc + 1, self.dtype).at[ccols].add(up))[:nc] + yc
+
+        yp = jnp.einsum("jab,jb->ja", V, P)
+        yp = yp + jax.ops.segment_sum(
+            jnp.einsum("nab,na->nb", Wb, pcg), self.obs_pt,
+            num_segments=self.n_pt,
+        )
+        yp = yp * self.op_mask
+        return self.join_x(yc, yp)
+
+    # ------------------------------------------------------------------
+    def normal(self, x):
+        U, V, Wb, gc, gp, rw = self._assemble(x)
+        return SchurNormalState(self, U, V, Wb, gc, gp, rw)
+
+
+class SchurNormalState:
+    def __init__(self, ops: SchurOps, U, V, Wb, gc, gp, rw):
+        self.ops = ops
+        self.U, self.V, self.Wb = U, V, Wb
+        self.gc, self.gp = gc, gp
+        self.rw = rw
+        self.g = ops.join_x(gc, gp)
+        self.n_x = ops.n_x
+
+    def diag(self):
+        dU = jnp.diagonal(self.U)
+        dV = jnp.einsum("jaa->ja", self.V)
+        return self.ops.join_x(dU, dV * self.ops.op_mask)
+
+    def trace_diag(self):
+        return float(
+            jnp.sum(jnp.diagonal(self.U))
+            + jnp.sum(jnp.einsum("jaa->ja", self.V) * self.ops.op_mask)
+        )
+
+    def matvec(self, p):
+        return self.ops._matvec_jit(self.U, self.V, self.Wb, p)
+
+    def solve(self, rhs, lam: float = 0.0):
+        sol, L = self.ops._solve_jit(
+            self.U, self.V, self.Wb, rhs, jnp.asarray(lam, self.ops.dtype)
+        )
+        failed = bool(jnp.any(jnp.isnan(L)))
+        return sol, failed

@@ -7,10 +7,9 @@ rank-deficient Jacobian; identical damping schedules and termination
 semantics so iteration counts are comparable with DBAT.
 
 The solvers never see a Jacobian: they consume a `normal(x)` operator
-returning (N, g, rw) with N = J'WJ, g = J'Wr.  All J-dependent
-quantities are recovered from it:  ||J p||^2 = p'Np,  r'Jp = g'p.
-Column scaling (gauss_newton_armijo.m:146-174) becomes Jacobi scaling
-of N: D N D q = -D g, p = D q with D = diag(1/sqrt(diag N)).
+(see normal_state.py) and recover every J-dependent quantity from it:
+||J p||^2 = p'Np,  r'Jp = g'p.  This keeps them backend-agnostic
+between the dense oracle and the Schur reduced-camera system.
 """
 
 from __future__ import annotations
@@ -44,30 +43,6 @@ class SolveResult:
         return self.code == OK
 
 
-def _chol_solve(N, rhs):
-    """Cholesky solve; returns (solution, failed)."""
-    L = jnp.linalg.cholesky(N)
-    failed = bool(jnp.any(jnp.isnan(L)))
-    if failed:
-        return jnp.full_like(rhs, jnp.nan), True
-    y = jnp.linalg.solve(L, rhs)  # could use triangular_solve; fine
-    sol = jnp.linalg.solve(L.T, y)
-    return sol, False
-
-
-def _scaled_gn_step(N, g):
-    """Column-scaled Gauss-Newton step (gauss_newton_armijo.m:165-174).
-
-    Returns (p, failed).
-    """
-    d = jnp.sqrt(jnp.diagonal(N))
-    d = jnp.where(d > 0, d, 1.0)
-    Dinv = 1.0 / d
-    Ns = N * Dinv[:, None] * Dinv[None, :]
-    q, failed = _chol_solve(Ns, -(Dinv * g))
-    return Dinv * q, failed
-
-
 def gauss_newton_armijo(
     ops,
     x0,
@@ -79,10 +54,8 @@ def gauss_newton_armijo(
     veto_fun=None,
     do_trace: bool = False,
 ) -> SolveResult:
-    """Gauss-Newton with Armijo backtracking line search.
-
-    Mirrors code/bundle/lsa/gauss_newton_armijo.m.
-    """
+    """Gauss-Newton with Armijo backtracking line search
+    (code/bundle/lsa/gauss_newton_armijo.m)."""
     x = jnp.asarray(x0)
     res = SolveResult(x=None, code=OK, iters=0)
     res.damping = {"name": "gna", "alphas": [], "mu": mu, "alpha_min": alpha_min}
@@ -99,19 +72,20 @@ def gauss_newton_armijo(
     p = None
     rw = None
     while True:
-        N, g, rw = ops.normal(x)
+        st = ops.normal(x)
+        rw = st.rw
         rnorm = float(jnp.linalg.norm(rw))
         res.res_norms.append(rnorm)
         if do_trace:
             print(f"GNA: iteration {n}, residual norm={rnorm:.6g}")
 
-        p, failed = _scaled_gn_step(N, g)
+        p, failed = st.solve(-st.g)
         if failed and singular_test:
             res.code = SINGULAR
             break
 
-        Jp_norm2 = float(p @ (N @ p))
-        gp = float(g @ p)
+        Jp_norm2 = float(p @ st.matvec(p))
+        gp = float(st.g @ p)
         if term_fun(np.sqrt(max(Jp_norm2, 0.0)), rnorm):
             break
 
@@ -173,17 +147,17 @@ def gauss_markov(
     p = None
     rw = None
     while True:
-        N, g, rw = ops.normal(x)
+        st = ops.normal(x)
+        rw = st.rw
         rnorm = float(jnp.linalg.norm(rw))
         res.res_norms.append(rnorm)
         if do_trace:
             print(f"GM: iteration {n}, residual norm={rnorm:.6g}")
-        # Unscaled normal solve (gauss_markov.m:35).
-        p, failed = _chol_solve(N, -g)
+        p, failed = st.solve(-st.g)
         if failed and singular_test:
             res.code = SINGULAR
             break
-        Jp_norm = float(jnp.sqrt(jnp.maximum(p @ (N @ p), 0.0)))
+        Jp_norm = float(jnp.sqrt(jnp.maximum(p @ st.matvec(p), 0.0)))
         if term_fun(Jp_norm, rnorm):
             break
         n += 1
@@ -212,15 +186,15 @@ def levenberg_marquardt(
     """Classic lambda-version LM (code/bundle/lsa/levenberg_marquardt.m).
 
     Negative lambda0/lambda_min mean auto-scale by trace(J'J)/n
-    (levenberg_marquardt.m:88-96).
-    """
+    (levenberg_marquardt.m:88-96)."""
     x = jnp.asarray(x0)
     res = SolveResult(x=None, code=OK, iters=0)
     res.trace.append(np.asarray(x))
 
-    N, g, rw = ops.normal(x)
+    st = ops.normal(x)
+    rw = st.rw
     f = 0.5 * float(rw @ rw)
-    tr = float(jnp.sum(jnp.diagonal(N)))
+    tr = st.trace_diag()
     if lambda0 < 0:
         lambda0 = abs(lambda0) * tr / ops.n_x
     if lambda_min < 0:
@@ -236,15 +210,14 @@ def levenberg_marquardt(
         return res
 
     n = 0
-    I = jnp.eye(ops.n_x, dtype=N.dtype)
     p = None
     prev_lambda = None
+    Jp_norm = np.inf
     while True:
         converged = False
         while n <= max_iter:
-            p, failed = _chol_solve(N + lam * I, -g)
+            p, failed = st.solve(-st.g, lam=lam)
             if failed:
-                # lambda too small for conditioning; treat as singular
                 res.code = SINGULAR
                 break
             res.res_norms.append(float(jnp.linalg.norm(rw)))
@@ -254,7 +227,7 @@ def levenberg_marquardt(
                       f" lambda={lam:.3g}")
             res.trace.append(np.asarray(x))
             n += 1
-            Jp_norm = float(jnp.sqrt(jnp.maximum(p @ (N @ p), 0.0)))
+            Jp_norm = float(jnp.sqrt(jnp.maximum(p @ st.matvec(p), 0.0)))
             t = x + p
             rt = ops.weighted_residual(t)
             ft = 0.5 * float(rt @ rt)
@@ -264,7 +237,8 @@ def levenberg_marquardt(
                 lam = lam / 10.0
                 if lam < lambda_min:
                     lam = 0.0
-                N, g, rw = ops.normal(x)
+                st = ops.normal(x)
+                rw = st.rw
                 f = 0.5 * float(rw @ rw)
                 break
             else:
@@ -315,22 +289,23 @@ def levenberg_marquardt_powell(
         res.x = np.asarray(x)
         return res
 
-    N, g, rw = ops.normal(x)
+    st = ops.normal(x)
+    rw = st.rw
     f = 0.5 * float(rw @ rw)
     n = 0
     p = None
     while True:
         res.res_norms.append(float(jnp.linalg.norm(rw)))
 
-        p, p_gn, step, failed = _dogleg(N, g, delta)
+        p, p_gn, step, failed = _dogleg(st, delta)
         if failed:
             res.code = SINGULAR
             break
         res.damping["deltas"].append(delta)
         res.damping["steps"].append(step)
 
-        Jp_gn = float(jnp.sqrt(jnp.maximum(p_gn @ (N @ p_gn), 0.0)))
-        Jp_norm2 = float(p @ (N @ p))
+        Jp_gn = float(jnp.sqrt(jnp.maximum(p_gn @ st.matvec(p_gn), 0.0)))
+        Jp_norm2 = float(p @ st.matvec(p))
         if step == 0 and term_fun(Jp_gn, res.res_norms[-1]):
             break
 
@@ -339,7 +314,7 @@ def levenberg_marquardt_powell(
         ft = 0.5 * float(rt @ rt)
         veto = bool(veto_fun(t)) if veto_fun is not None else False
 
-        predicted = -float(g @ p) - 0.5 * Jp_norm2
+        predicted = -float(st.g @ p) - 0.5 * Jp_norm2
         actual = f - ft
         rho = actual / predicted if predicted != 0 else -np.inf
         res.damping["rhos"].append(rho)
@@ -354,7 +329,8 @@ def levenberg_marquardt_powell(
                 delta = delta / 2.0 ** np.ceil(np.log2(delta / pgn_norm))
         else:
             x = t
-            N, g, rw = ops.normal(x)
+            st = ops.normal(x)
+            rw = st.rw
             f = 0.5 * float(rw @ rw)
             if rho >= rho_good:
                 delta = delta * 2.0
@@ -372,29 +348,26 @@ def levenberg_marquardt_powell(
     return res
 
 
-def _dogleg(N, g, delta):
-    """Powell dogleg on the scaled system (levenberg_marquardt_powell.m
-    dogleg): returns (p, p_gn, step, failed); step 0=GN, 1=interpolated,
-    2=Cauchy."""
-    d = jnp.sqrt(jnp.diagonal(N))
-    d = jnp.where(d > 0, d, 1.0)
-    Dinv = 1.0 / d
-    Hs = N * Dinv[:, None] * Dinv[None, :]
-    gs = Dinv * g
-    q, failed = _chol_solve(Hs, -gs)
+def _dogleg(st, delta):
+    """Powell dogleg (levenberg_marquardt_powell.m dogleg): returns
+    (p, p_gn, step, failed); step 0=GN, 1=interpolated, 2=Cauchy.
+
+    The reference computes in column-scaled coordinates; algebraically
+    the GN point, the Cauchy point lambda* = g'g/(g'Ng), and the trust
+    region are all expressed on the unscaled system here."""
+    g = st.g
+    p_gn, failed = st.solve(-g)
     if failed:
         return None, None, -1, True
-    p_gn = Dinv * q
     if float(jnp.linalg.norm(p_gn)) <= delta:
         return p_gn, p_gn, 0, False
 
-    invD2gs = d * d * gs
-    gg = d * gs  # invD*gs
-    lambda_star = float(gg @ gg) / float(invD2gs @ (Hs @ invD2gs))
-    cp = -lambda_star * gg
+    gng = float(g @ st.matvec(g))
+    lambda_star = float(g @ g) / gng
+    cp = -lambda_star * g
     cp_norm = float(jnp.linalg.norm(cp))
     if cp_norm > delta:
-        p = -gg / float(jnp.linalg.norm(gg)) * delta
+        p = -g / float(jnp.linalg.norm(g)) * delta
         return p, p_gn, 2, False
 
     diff = p_gn - cp
