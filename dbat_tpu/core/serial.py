@@ -60,12 +60,32 @@ def _serialize_block(block: np.ndarray, est: np.ndarray, use: np.ndarray,
     blk = block.copy()
     blk[~est] = 0  # fixed entries do not get unknowns
 
+    # Fast path: no sharing (every nonzero block id unique within its
+    # column) — covers OP always and EO/IO in image-variant projects.
+    simple = True
+    for j in range(m):
+        col = blk[:, j]
+        nz = col[col != 0]
+        if len(np.unique(nz)) != len(nz):
+            simple = False
+            break
+
+    if simple:
+        est_nz = blk != 0
+        leading = est_nz
+        x_idx = np.full((n, m), -1, dtype=np.int64)
+        flat = est_nz.reshape(-1)
+        x_idx.reshape(-1)[flat] = offset + np.arange(flat.sum())
+        counter = int(flat.sum())
+        use_flat = (use & leading).reshape(-1)
+        obs_src = np.flatnonzero(use_flat)
+        obs_x = x_idx.reshape(-1)[obs_src]
+        return x_idx, leading, counter, obs_src, obs_x
+
+    # General path (shared blocks): small arrays, plain loop.
     x_idx = np.full((n, m), -1, dtype=np.int64)
     leading = np.zeros((n, m), dtype=bool)
-
-    # Enumerate in row-major (image-major) order.
     counter = 0
-    # For each parameter column, map block id -> x index.
     seen = [dict() for _ in range(m)]
     order = []  # (i, j) of leading entries in enumeration order
     for i in range(n):

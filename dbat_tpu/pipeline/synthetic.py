@@ -92,15 +92,12 @@ def make_ring_network(
     op = rng.uniform(-2.0, 2.0, (n_pt, 3))
     op[:, 2] *= 0.5
 
-    # Observations: consecutive-camera runs per point.
-    obs_img, obs_pt = [], []
-    for j in range(n_pt):
-        start = (j * 7) % n_img
-        cams = [(start + k) % n_img for k in range(min(rays_per_pt, n_img))]
-        obs_img.extend(cams)
-        obs_pt.extend([j] * len(cams))
-    obs_img = np.array(obs_img, dtype=np.int32)
-    obs_pt = np.array(obs_pt, dtype=np.int32)
+    # Observations: consecutive-camera runs per point (vectorized).
+    k = min(rays_per_pt, n_img)
+    start = (np.arange(n_pt) * 7) % n_img
+    cams = (start[:, None] + np.arange(k)[None, :]) % n_img
+    obs_img = cams.reshape(-1).astype(np.int32)
+    obs_pt = np.repeat(np.arange(n_pt), k).astype(np.int32)
 
     # Exact projections -> pixel measurements: compute the ideal pinhole
     # projection (the residual lhs) for every observation, then invert

@@ -90,6 +90,7 @@ def bundle(
     trace: bool = False,
     dtype=jnp.float64,
     backend: str = "auto",
+    mesh=None,
 ):
     """Run the damped bundle adjustment on a Project.
 
@@ -122,11 +123,11 @@ def bundle(
         # Schur reduced camera system wins beyond that.
         backend = "dense" if spec.n_x <= 2000 else "schur"
     if backend == "dense":
-        ops = BundleOps(project, spec, dtype=dtype)
+        ops = BundleOps(project, spec, dtype=dtype, mesh=mesh)
     elif backend == "schur":
         from .schur import SchurOps
 
-        ops = SchurOps(project, spec, dtype=dtype)
+        ops = SchurOps(project, spec, dtype=dtype, mesh=mesh)
     else:
         raise ValueError(f"Unknown backend {backend!r}")
     x0 = ops.x0()

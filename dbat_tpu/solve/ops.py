@@ -36,9 +36,10 @@ class BundleOps:
     function of the unknown vector x only.
     """
 
-    def __init__(self, project, spec: SerialSpec, dtype=jnp.float64):
+    def __init__(self, project, spec: SerialSpec, dtype=jnp.float64, mesh=None):
         self.spec = spec
         self.dtype = dtype
+        self.mesh = mesh
         self.n_x = spec.n_x
         p = project
 
@@ -100,10 +101,21 @@ class BundleOps:
         self._res_fn = make_obs_residual_fn(self.model, self.nK, self.nP)
         self._jac_fn = make_obs_jacobian_fn(self.model, self.nK, self.nP)
 
+        if mesh is not None:
+            self._apply_mesh(mesh)
+
         # Jitted entry points.
         self.residuals = jax.jit(self._residuals)
         self.weighted_residual = jax.jit(self._weighted_residual)
         self._normal_jit = jax.jit(self._normal)
+
+    def _apply_mesh(self, mesh):
+        """Shard per-observation arrays over the 'obs' mesh axis; GSPMD
+        turns the partial scatter-adds into psums over ICI."""
+        from ..parallel.mesh import shard_leading
+
+        for name in ("obs_img", "obs_pt", "ip_px", "px_obs", "w_ip", "cols"):
+            setattr(self, name, shard_leading(mesh, getattr(self, name)))
 
     # -- parameter handling -------------------------------------------------
     def params_of_x(self, x):

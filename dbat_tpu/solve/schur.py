@@ -46,19 +46,23 @@ def _build_pairs(obs_pt: np.ndarray):
     sorted_pt = obs_pt[order]
     starts = np.flatnonzero(np.diff(sorted_pt, prepend=-1))
     counts = np.diff(np.append(starts, len(obs_pt)))
-    i1, i2 = [], []
-    for s, c in zip(starts, counts):
-        idx = order[s:s + c]
-        g1, g2 = np.meshgrid(idx, idx, indexing="ij")
-        i1.append(g1.reshape(-1))
-        i2.append(g2.reshape(-1))
-    return np.concatenate(i1), np.concatenate(i2)
+
+    # Vectorized per-group outer products: element e of a k-group
+    # appears k times as i1; i2 tiles the whole group k times.
+    k2 = counts * counts
+    i1 = np.repeat(order, np.repeat(counts, counts))
+    pair_group = np.repeat(np.arange(len(counts)), k2)
+    group_off = np.repeat(np.cumsum(k2) - k2, k2)
+    within = np.arange(k2.sum()) - group_off
+    i2 = order[starts[pair_group] + within % counts[pair_group]]
+    return i1, i2
 
 
 class SchurOps(BundleOps):
     """BundleOps with a Schur-complement normal backend."""
 
-    def __init__(self, project, spec, dtype=jnp.float64, pair_chunk=32768):
+    def __init__(self, project, spec, dtype=jnp.float64, pair_chunk=32768,
+                 mesh=None):
         super().__init__(project, spec, dtype=dtype)
         self.n_c = spec.n_io + spec.n_eo
         self.n_cb = self.cols.shape[1] - 3  # NC + 6
@@ -96,6 +100,18 @@ class SchurOps(BundleOps):
         i2 = np.concatenate([i2, np.full(pad, self.n_obs)])
         self.pair_i1 = jnp.asarray(i1.reshape(-1, pc), jnp.int32)
         self.pair_i2 = jnp.asarray(i2.reshape(-1, pc), jnp.int32)
+
+        if mesh is not None:
+            self.mesh = mesh
+            self._apply_mesh(mesh)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            # Pair chunks iterate under scan on the leading axis; shard
+            # the within-chunk axis so each scan step is data-parallel.
+            sh = NamedSharding(mesh, P(None, "obs"))
+            self.pair_i1 = jax.device_put(self.pair_i1, sh)
+            self.pair_i2 = jax.device_put(self.pair_i2, sh)
+            self.cam_cols = self.cols[:, : self.n_cb]
 
         self._assemble = jax.jit(self._assemble_impl)
         self._solve_jit = jax.jit(self._solve_impl)
