@@ -238,13 +238,30 @@ class SchurOps(BundleOps):
         ccols = jnp.where(self.cam_cols >= 0, self.cam_cols, nc)
         rc_t = jnp.zeros(nc + 1, self.dtype).at[ccols].add(-contrib)[:nc] + rc
 
-        # Jacobi-scaled Cholesky on S.
-        d = jnp.sqrt(jnp.clip(jnp.diagonal(S), 1e-300, None))
+        # Jacobi-scaled Cholesky on S.  In f32 the bundle camera system
+        # can exceed the f32 condition limit, so we regularize the
+        # unit-diagonal scaled matrix with a small jitter and recover
+        # accuracy with iterative refinement against the unjittered S
+        # (TPU-friendly mixed-precision strategy; the f64 path is exact).
+        d = jnp.sqrt(jnp.clip(jnp.diagonal(S), 0.0, None))
+        d = jnp.where(d > 0, d, 1.0)
         Dinv = 1.0 / d
         Ss = S * Dinv[:, None] * Dinv[None, :]
-        L = jnp.linalg.cholesky(Ss)
-        y = jax.scipy.linalg.solve_triangular(L, Dinv * rc_t, lower=True)
-        pc = Dinv * jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+        f32 = self.dtype == jnp.float32
+        eps = jnp.asarray(1e-6 if f32 else 0.0, self.dtype)
+        Sj = Ss + eps * jnp.eye(nc, dtype=self.dtype)
+        L = jnp.linalg.cholesky(Sj)
+
+        def tri_solve(b):
+            y = jax.scipy.linalg.solve_triangular(L, b, lower=True)
+            return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+
+        b = Dinv * rc_t
+        q = tri_solve(b)
+        if f32:
+            for _ in range(2):
+                q = q + tri_solve(b - Ss @ q)
+        pc = Dinv * q
 
         # rp_tilde = rp - Npc pc ; pp = Vinv rp_tilde
         pc_pad = jnp.concatenate([pc, jnp.zeros(1, self.dtype)])
