@@ -1,0 +1,403 @@
+"""Bundle result report generator (ref code/bundle/bundle_result_file.m).
+
+Reproduces the reference's report structure section by section so
+reports diff cleanly against shipped DBAT exports:
+
+  Project / Problems and suggestions / Information from last bundle /
+  Lens distortion models / Cameras (calibrated values ± deviations,
+  significance, correlations) / Precisions / Quality (photographs,
+  cameras, coverage, point measurements, residuals, precision, angles,
+  ctrl/check measurements).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid as uuid_mod
+
+import numpy as np
+
+from ..models.residuals import N_LIN
+
+
+def _fmt(v, digits=6):
+    if v is None or (isinstance(v, float) and not np.isfinite(v)):
+        return "-"
+    return f"{v:.{digits}g}"
+
+
+IO_PARAM_NAMES = ["cc", "px", "py", "as", "sk"]
+IO_PARAM_DESC = {
+    "cc": "Camera Constant",
+    "px": "px - principal point x",
+    "py": "py - principal point y",
+    "as": "as - off-unit aspect parameter",
+    "sk": "sk - skew",
+}
+
+
+def write_report(project, info, path, damping="gna", conv_tol=1e-6,
+                 abs_term=False, singular_test=True, veto=False,
+                 corr_threshold=0.95, sig_threshold=0.95):
+    """Write a DBAT-style result file; returns collected stats dict."""
+    from ..geometry.quality import (
+        coverage,
+        point_angles,
+        radial_coverage,
+        ray_counts,
+    )
+    from ..solve.covariance import Covariance
+    from ..solve.quality import (
+        high_correlations,
+        high_point_correlations,
+        residual_stats,
+        significance,
+    )
+
+    p = project
+    t_cov0 = time.time()
+    cov = Covariance(p, info).factorize()
+    cio = cov.cio()
+    ceo = cov.ceo()
+    cop = cov.cop()
+    std_io, std_eo, std_op = cov.posterior_std()
+    t_cov = time.time() - t_cov0
+
+    sig = significance(p, info.spec, cio)
+    corr_io = high_correlations(cio, corr_threshold)
+    hi_op = high_point_correlations(cop, corr_threshold)
+    rstats = residual_stats(p)
+    angles = point_angles(p)
+    rays = ray_counts(p)
+
+    code_names = {
+        0: "OK",
+        -1: "Too many iterations",
+        -2: "Normal matrix singular",
+        -3: "Line search failed",
+        -4: "Structurally rank deficient Jacobian",
+    }
+
+    L = []
+    add = L.append
+    add("Damped Bundle Adjustment Toolbox result file")
+    add("   Project")
+    add(f"      Name             : {p.title}")
+    add(f"      Computation UUID : {uuid_mod.uuid4()}")
+    add(f"      Input file name  : {p.file_name}")
+    if p.cpt_file:
+        add(f"      Ctrl pt file     : {p.cpt_file}")
+    if p.eo_file:
+        add(f"      EO file          : {p.eo_file}")
+
+    # Problems section (bundle_result_file.m:57-184).
+    add("   Problems and suggestions:")
+    add("      Project Problems:")
+    ws = info.weakness.get("structural")
+    wn = info.weakness.get("numerical")
+    add("         Structural rank: "
+        + ("ok." if ws is None else
+           f"deficiency {ws['deficiency']}; suspected parameters: "
+           f"{list(np.asarray(ws['suspected_params']))}"))
+    add("         Numerical rank: "
+        + ("ok." if wn is None else f"deficiency {wn.get('deficiency')}"))
+    problems = []
+    if corr_io:
+        problems.append(
+            "One or more of the camera parameter has a high correlation "
+            "(see below)."
+        )
+    if len(hi_op):
+        problems.append(
+            f"{len(hi_op)} object points have high coordinate correlations."
+        )
+    add(f"      Problems related to the processing: ({len(problems)})")
+    for s in problems:
+        add(f"         {s}")
+
+    # Bundle info (bundle_result_file.m:185-256).
+    from .. import __version__
+
+    add("   Information from last bundle")
+    add(f"      Last Bundle Run:        {time.strftime('%d-%b-%Y %H:%M:%S')}")
+    add(f"      DBAT-TPU version:       {__version__}")
+    add(f"      Status:                 {code_names.get(info.code, info.code)}")
+    add(f"      Sigma0:                 {info.sigma0:.5g}")
+    add(f"      Sigma0 (pixels):        {info.sigmas[0]:.5g}")
+    add(f"      Redundancy              {info.redundancy}")
+    n_prior = info.spec.n_prior
+    add(f"      Number of params:       {info.num_params} "
+        f"({info.spec.n_io} IO, {info.spec.n_eo} EO, {info.spec.n_op} OP)")
+    n_ip = 2 * info.ops.n_obs
+    add(f"      Number of observations: {info.num_obs} "
+        f"({n_ip} IP, {len(info.spec.io_obs_x)} IO, "
+        f"{len(info.spec.eo_obs_x)} EO, {len(info.spec.op_obs_x)} OP)")
+    add("      Processing options:")
+    add(f"         Orientation:             on")
+    add(f"         Global optimization:     on")
+    add(f"         Calibration:             "
+        f"{'yes' if p.est_io.any() else 'no'}")
+    add(f"         Constraints:             off")
+    add(f"         Maximum # of iterations: 20")
+    add(f"         Convergence tolerance:   {conv_tol:g}")
+    add(f"         Termination criteria:    "
+        f"{'absolute' if abs_term else 'relative'}")
+    add(f"         Singular test:           "
+        f"{'on' if singular_test else 'off'}")
+    add(f"         Chirality veto:          {'on' if veto else 'off'}")
+    add(f"         Damping:                 {damping}")
+    add(f"         Camera unit (cu):        {p.cam_unit}")
+    add(f"         Object space unit (ou):  {p.obj_unit}")
+    add(f"         Initial value comment:   {p.x0desc}")
+    add("      Total error:")
+    add(f"         Number of stages:     1")
+    add(f"         Number of iterations: {info.used_iters}")
+    if info.res_norms:
+        add(f"         First error:          {info.res_norms[0]:.6g}")
+        add(f"         Last error:           {info.res_norms[-1]:.6g}")
+    add("      Execution times (s):")
+    add(f"         Bundle:        {info.time:.2f}")
+    add(f"         Post-cov:      {t_cov:.2f}")
+
+    add("      Lens distortion models:")
+    model = p.dist_model
+    kind = "Backward (Photogrammetry)" if model > 0 else "Forward (Computer Vision)"
+    add(f"         {kind} model {abs(model)}")
+
+    # Cameras (bundle_result_file.m:292-460). PM sign convention for
+    # display: py, K, P negated (DBATCamera.m:59-80).
+    add("      Cameras:")
+    est_any = p.est_io.any(axis=0)
+    names = IO_PARAM_NAMES + [f"K{i+1}" for i in range(p.nK)] + [
+        f"P{i+1}" for i in range(p.nP)
+    ]
+    cal_params = " ".join(n for n, e in zip(names, est_any) if e)
+    add(f"         Calibration: {'yes (' + cal_params + ')' if est_any.any() else 'no'}")
+    lead = info.spec.io_leading.any(axis=1)
+    cam_nos = np.flatnonzero(lead) if lead.any() else [0]
+    for ci, j in enumerate(cam_nos):
+        add(f"         Camera{ci+1} (simple)")
+        add(f"            Lens distortion model:")
+        add(f"               {kind} model {abs(model)}")
+
+        def param_line(desc, val, dev, unit="", extra=()):
+            add(f"            {desc}:")
+            add(f"               Value:        {val:.6g} {unit}".rstrip())
+            if dev is not None and np.isfinite(dev):
+                add(f"               Deviation:    {dev:.3g} {unit}".rstrip())
+            for e in extra:
+                add(f"               {e}")
+
+        io = p.io[j]
+        # display with PM sign conventions
+        disp = [io[0], io[1], -io[2], io[3], io[4]]
+        for k, nm in enumerate(IO_PARAM_NAMES):
+            unit = "mm" if k < 3 else ""
+            extra = []
+            if nm == "as" and np.isfinite(sig["B"][j, 0]):
+                extra.append(f"Significance: p={sig['B'][j,0]:.2f}")
+            if nm == "sk" and np.isfinite(sig["B"][j, 1]):
+                extra.append(f"Significance: p={sig['B'][j,1]:.2f}")
+            param_line(IO_PARAM_DESC[nm], disp[k], std_io[j, k], unit, extra)
+        for i in range(p.nK):
+            ii = N_LIN + i
+            extra = []
+            if np.isfinite(sig["K"][j, i]):
+                extra.append(f"Significance: p={sig['K'][j,i]:.2f}")
+            if np.isfinite(sig["KC"][j, i]):
+                extra.append(f"Cumulative significance:p={sig['KC'][j,i]:.2f}")
+            cors = [
+                f"{names[b]}:{v*100:.1f}%"
+                for (cj, a, b, v) in corr_io
+                if cj == j and a == ii
+            ] + [
+                f"{names[a]}:{v*100:.1f}%"
+                for (cj, a, b, v) in corr_io
+                if cj == j and b == ii
+            ]
+            if cors:
+                extra.append("Correlations over 95%: " + ", ".join(cors) + ".")
+            param_line(f"K{i+1} - radial distortion {i+1}", -io[ii],
+                       std_io[j, ii], f"mm^(-{3+2*i})", extra)
+        for i in range(p.nP):
+            ii = N_LIN + p.nK + i
+            extra = []
+            if i == 0 and np.isfinite(sig["P"][j]):
+                extra.append(f"Significance: p={sig['P'][j]:.2f}")
+            param_line(f"P{i+1} - decentering distortion {i+1}", -io[ii],
+                       std_io[j, ii], "mm^(-3)", extra)
+        add(f"            Image width:")
+        add(f"               Value:        {p.sensor_im_size[j,0]:.0f} px")
+        add(f"            Image height:")
+        add(f"               Value:        {p.sensor_im_size[j,1]:.0f} px")
+        add(f"            Pixel size:")
+        add(f"               Value:        {p.sensor_px_size[j,0]:.6g} mm")
+
+    # Precisions (bundle_result_file.m:461-514).
+    add("      Precisions / Standard Deviations:")
+    add("         Photograph Standard Deviations:")
+    deg = 180 / np.pi
+    for i in range(p.n_img):
+        add(f"            Photo {i+1}: {p.img_labels[i]}")
+        for nm, k, scale, unit in (
+            ("Omega", 3, deg, "deg"), ("Phi", 4, deg, "deg"),
+            ("Kappa", 5, deg, "deg"), ("Xc", 0, 1, "ou"),
+            ("Yc", 1, 1, "ou"), ("Zc", 2, 1, "ou"),
+        ):
+            add(f"               {nm}:")
+            add(f"                  Value:     {p.eo[i,k]*scale:.6f} {unit}")
+            if np.isfinite(std_eo[i, k]):
+                add(f"                  Deviation: {std_eo[i,k]*scale:.3g} {unit}")
+
+    # Quality (bundle_result_file.m:515-965).
+    add("   Quality")
+    add("      Photographs")
+    add(f"         Total number: {p.n_img}")
+    used = np.unique(p.obs_img)
+    add(f"         Numbers used: {len(used)}")
+    add("      Cameras")
+    add(f"         Total number: {len(cam_nos)}")
+    rect = coverage(p)
+    ch = coverage(p, convex_hull=True)
+    rad = radial_coverage(p)
+    add("            Photo point coverage:")
+    add(f"               Rectangular: {rect.min()*100:.0f}%-{rect.max()*100:.0f}%"
+        f" ({rect.mean()*100:.0f}% average)")
+    add(f"               Convex hull: {ch.min()*100:.0f}%-{ch.max()*100:.0f}%"
+        f" ({ch.mean()*100:.0f}% average)")
+    add(f"               Radial:      {rad.min()*100:.0f}%-{rad.max()*100:.0f}%"
+        f" ({rad.mean()*100:.0f}% average)")
+
+    add("      Point Measurements")
+    n_cp = int(p.is_ctrl.sum())
+    n_ccp = int(p.is_check.sum())
+    n_op_only = p.n_op - n_cp - n_ccp
+    add(f"         Number of control pts: {n_cp}")
+    add(f"         Number of check pts: {n_ccp}")
+    add(f"         Number of object pts: {n_op_only}")
+
+    def ray_summary(mask, name):
+        rr = rays[mask]
+        if len(rr) == 0:
+            add(f"         {name} ray count: -")
+            return
+        add(f"         {name} ray count: {rr.min()}-{rr.max()} "
+            f"({rr.mean():.1f} avg)")
+        for v in np.unique(rr):
+            add(f"            {int((rr==v).sum())} points with {v} rays.")
+
+    ray_summary(p.is_ctrl, "CP")
+    ray_summary(p.is_check, "CCP")
+    ray_summary(~p.is_ctrl & ~p.is_check, "OP")
+
+    add("      Point Marking Residuals")
+    add(f"         Overall point RMS: {rstats['overall_rms']:.3f} pixels")
+    mx, mid, mph = rstats["mark_max"]
+    add("         Mark point residuals:")
+    add(f"            Maximum: {mx:.3f} pixels (OP {mid} on photo {mph})")
+    prms = rstats["point_rms"]
+    ok = np.isfinite(prms) & (rstats["point_count"] > 0)
+    if ok.any():
+        jmin = np.flatnonzero(ok)[np.argmin(prms[ok])]
+        jmax = np.flatnonzero(ok)[np.argmax(prms[ok])]
+        add("         Object point residuals (RMS over all images of a point):")
+        add(f"            Minimum: {prms[jmin]:.3f} pixels (OP {p.op_id[jmin]} "
+            f"over {int(rstats['point_count'][jmin])} images)")
+        add(f"            Maximum: {prms[jmax]:.3f} pixels (OP {p.op_id[jmax]} "
+            f"over {int(rstats['point_count'][jmax])} images)")
+    phr = rstats["photo_rms"]
+    okp = np.isfinite(phr) & (rstats["photo_count"] > 0)
+    if okp.any():
+        imin = np.flatnonzero(okp)[np.argmin(phr[okp])]
+        imax = np.flatnonzero(okp)[np.argmax(phr[okp])]
+        add("         Photo residuals (RMS over all points in an image):")
+        add(f"            Minimum: {phr[imin]:.3f} pixels (photo {imin+1} over "
+            f"{int(rstats['photo_count'][imin])} points)")
+        add(f"            Maximum: {phr[imax]:.3f} pixels (photo {imax+1} over "
+            f"{int(rstats['photo_count'][imax])} points)")
+
+    add("      Point Precision")
+    tot = np.sqrt(np.nansum(std_op**2, axis=1))
+    est_pts = np.isfinite(std_op).any(axis=1)
+    if est_pts.any():
+        jmin = np.flatnonzero(est_pts)[np.argmin(tot[est_pts])]
+        jmax = np.flatnonzero(est_pts)[np.argmax(tot[est_pts])]
+        add("         Total standard deviation (RMS of X/Y/Z std):")
+        add(f"            Minimum: {tot[jmin]:.2g} (OP {p.op_id[jmin]})")
+        add(f"            Maximum: {tot[jmax]:.2g} (OP {p.op_id[jmax]})")
+        for k, nm in enumerate("XYZ"):
+            col = std_op[:, k]
+            if np.isfinite(col).any():
+                jm = np.nanargmax(col)
+                add(f"         Maximum {nm} standard deviation: "
+                    f"{col[jm]:.2g} (OP {p.op_id[jm]})")
+    add("         Points with high correlations")
+    add(f"            Points with correlation above 95%: {len(hi_op)}")
+
+    add("      Point Angles")
+    for nm, mask in (("CP", p.is_ctrl), ("CCP", p.is_check),
+                     ("OP", ~p.is_ctrl & ~p.is_check)):
+        a = angles[mask] * 180 / np.pi
+        a_ok = np.isfinite(a)
+        add(f"         {nm}")
+        if a_ok.any():
+            ids = p.op_id[mask]
+            add(f"            Minimum: {np.nanmin(a):.1f} degrees "
+                f"({nm} {ids[np.nanargmin(a)]})")
+            add(f"            Maximum: {np.nanmax(a):.1f} degrees "
+                f"({nm} {ids[np.nanargmax(a)]})")
+            add(f"            Average: {np.nanmean(a):.1f} degrees")
+        else:
+            add("            Minimum: -")
+            add("            Maximum: -")
+            add("            Average: -")
+
+    # Ctrl/check tables.
+    add("      Ctrl measurements")
+    if n_cp:
+        add("         Prior")
+        add("             id,        x,        y,        z,     stdx,"
+            "     stdy,     stdz, label")
+        for j in np.flatnonzero(p.is_ctrl):
+            v = p.prior_op_val[j]
+            sd = p.prior_op_std[j]
+            add(f"           {p.op_id[j]:4d}, {v[0]:8.3f}, {v[1]:8.3f}, "
+                f"{v[2]:8.3f}, {sd[0]:8.3g}, {sd[1]:8.3g}, {sd[2]:8.3g}, "
+                f"{p.op_labels[j]}")
+        add("         Posterior")
+        add("             id,        x,        y,        z,     stdx,"
+            "     stdy,     stdz, rays, label")
+        for j in np.flatnonzero(p.is_ctrl):
+            v = p.op[j]
+            sd = np.nan_to_num(std_op[j])
+            add(f"           {p.op_id[j]:4d}, {v[0]:8.3f}, {v[1]:8.3f}, "
+                f"{v[2]:8.3f}, {sd[0]:8.3g}, {sd[1]:8.3g}, {sd[2]:8.3g}, "
+                f"{int(rays[j]):4d}, {p.op_labels[j]}")
+        d = p.op[p.is_ctrl] - p.prior_op_val[p.is_ctrl]
+        dn = np.linalg.norm(d, axis=1)
+        jm = np.argmax(dn)
+        ctrl_ids = p.op_id[p.is_ctrl]
+        add("         Ctrl point delta")
+        add(f"            Max: {dn[jm]:.3f} ou (pt {ctrl_ids[jm]})")
+        add(f"            RMS: {np.sqrt(np.mean(dn**2)):.3f} ou "
+            f"(from {n_cp} items)")
+    else:
+        add("         none")
+    add("      Check measurements")
+    if n_ccp:
+        d = p.op[p.is_check] - p.prior_op_val[p.is_check]
+        dn = np.linalg.norm(d, axis=1)
+        add(f"         Max: {np.max(dn):.3f} ou")
+        add(f"         RMS: {np.sqrt(np.mean(dn**2)):.3f} ou")
+    else:
+        add("         none")
+    add("End of result file")
+
+    with open(path, "wt") as fh:
+        fh.write("\n".join(L) + "\n")
+
+    return {
+        "cov": cov, "sig": sig, "corr_io": corr_io,
+        "rstats": rstats, "angles": angles, "rays": rays,
+        "std_io": std_io, "std_eo": std_eo, "std_op": std_op,
+    }
