@@ -133,6 +133,22 @@ def load_pm(path: str, im_size=None) -> PmProject:
     obj_pts = read_table(7)
     mark_pts = read_table(6)
 
+    # Smart-point renumbering (loadpm.m:384-410): PM "smart" points have
+    # zero mark std and restart id numbering; shift them above the
+    # normal ids when both kinds are present and obj ids are not
+    # ascending.
+    if mark_pts.size and obj_pts.size:
+        is_smart_mark = np.all(mark_pts[:, 4:6] == 0, axis=1)
+        norm_ids = np.unique(mark_pts[~is_smart_mark, 1])
+        smart_ids = np.unique(mark_pts[is_smart_mark, 1])
+        split = np.flatnonzero(np.diff(obj_pts[:, 0]) < 0)
+        if split.size and norm_ids.size and smart_ids.size:
+            shift = norm_ids.max() + 1 - smart_ids.min()
+            mark_pts[is_smart_mark, 1] += shift
+            is_smart_obj = np.isin(obj_pts[:, 0], smart_ids)
+            is_smart_obj[: split[0] + 1] = False
+            obj_pts[is_smart_obj, 0] += shift
+
     # Use image names sans longest common path as labels (loadpm.m:215-234).
     names = [im.name for im in images]
     if names:

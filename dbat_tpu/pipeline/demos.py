@@ -60,3 +60,64 @@ def camcal(damping: str = "gna", data_dir: str = None, trace: bool = False,
         s, damping=damping, trace=trace, dtype=dtype
     )
     return result, ok, iters, sigma0, info
+
+
+def prague_sxb(label: str = "s2", orient: bool = False, damping: str = "gna",
+               trace: bool = False):
+    """Prague 2016 sxb aerial experiments (ref code/demo/prague2016_pm.m).
+
+    label: 's1' fixed CPs (f-op0), 's2' weighted CPs (w-op0),
+    's3' weighted + extra OPs (w-op1), 's4' weighted + smart points
+    (wsmart).  Expected sigma0 (no-orient reports): s1 1.0419,
+    s2 0.984904, s3 0.965375, s4 1.07447.
+    """
+    import os.path as osp
+
+    import jax.numpy as jnp
+
+    from ..core.project import from_pm
+    from ..geometry.initvals import forward_intersect, resect
+    from ..io.cpt import load_cpt
+    from ..io.pm import load_pm
+    from ..solve.bundle import bundle
+
+    stubs = {"s1": ("f-op0", False), "s2": ("w-op0", True),
+             "s3": ("w-op1", True), "s4": ("wsmart", True)}
+    stub, weighted = stubs[label.lower()]
+    orient_str = "-with-orient" if orient else "-no-orient"
+    input_dir = osp.join(REFERENCE_DATA, "prague2016", "sxb")
+    prob = load_pm(
+        osp.join(input_dir, "pmexports", f"{stub}{orient_str}-pmexport.txt")
+    )
+    s = from_pm(prob)
+    s.set_cam_vals_loaded()
+    s.set_cam_est("not", "all")
+
+    cp_file = osp.join(
+        input_dir, "ref",
+        "ctrlpts-weighted.txt" if weighted else "ctrlpts-fixed.txt",
+    )
+    pts = load_cpt(cp_file)
+
+    # Shift CP file coordinates by the mean offset between the PM
+    # project's control points and the file (prague2016_pm.m:127-142).
+    pm_ids = prob.ctrl_pts[:, 0].astype(int)
+    common, ia, ib = np.intersect1d(pm_ids, pts.id, return_indices=True)
+    offset = prob.ctrl_pts[ia, 1:4].T - pts.pos[:, ib]
+    pts.pos = pts.pos + offset.mean(axis=1, keepdims=True)
+
+    i, j = s.match_cpt(pts, match="id")
+    s.set_cpt(pts, i, j)
+    s.clear_eo()
+    s.clear_op()
+
+    cp_id = s.op_id[s.is_ctrl]
+    rms, fail = resect(s, "all", cp_id, 1, 0, cp_id)
+    if fail:
+        raise RuntimeError("Resection failed")
+    forward_intersect(s, "all", skip_prior=True)
+
+    result, ok, iters, sigma0, info = bundle(
+        s, damping=damping, trace=trace, dtype=jnp.float64
+    )
+    return result, ok, iters, sigma0, info
