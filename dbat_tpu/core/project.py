@@ -282,6 +282,52 @@ class Project:
             return i_lb, j_lb
         return np.array([], dtype=int), np.array([], dtype=int)
 
+    def match_eo(self, tbl, match: str = "auto"):
+        """Match an EO table to images by id and/or label
+        (code/misc/matcheo.m). Returns (img_indices, tbl_indices)."""
+        by_id = np.any(tbl.id >= 0) if match == "auto" else match in ("id", "both")
+        by_label = any(n for n in tbl.name) if match == "auto" else match in (
+            "label", "both")
+        if by_label:
+            labels = np.array(self.img_labels)
+            common, ia, ib = np.intersect1d(
+                labels, np.array(tbl.name), return_indices=True
+            )
+            if len(ia):
+                return ia, ib
+        if by_id:
+            common, ia, ib = np.intersect1d(
+                self.img_ids, tbl.id, return_indices=True
+            )
+            return ia, ib
+        return np.array([], dtype=int), np.array([], dtype=int)
+
+    def set_prior_eo(self, tbl, i, j) -> None:
+        """Install prior EO positions (code/misc/setprioreo.m): fixed
+        (std 0) positions become fixed parameters, others prior
+        observations."""
+        self.eo_file = tbl.file_name
+        self.prior_eo_val[i, 0:3] = tbl.pos[:, j].T
+        self.eo[i, 0:3] = tbl.pos[:, j].T
+        self.prior_eo_std[i, 0:3] = tbl.std[:, j].T
+        for k, (ii, jj) in enumerate(zip(i, j)):
+            if tbl.name[jj]:
+                self.img_labels[ii] = tbl.name[jj]
+        is_fixed = (tbl.std[:, j] == 0).T  # (len(i), 3)
+        self.prior_eo_use[i, 0:3] = ~is_fixed
+        self.est_eo[i, 0:3] = ~is_fixed
+        # Angles if present in the table.
+        ang_ok = np.isfinite(tbl.ang[:, j]).all(axis=0)
+        if ang_ok.any():
+            ii = np.asarray(i)[ang_ok]
+            jj = np.asarray(j)[ang_ok]
+            self.prior_eo_val[ii, 3:6] = tbl.ang[:, jj].T
+            self.eo[ii, 3:6] = tbl.ang[:, jj].T
+            self.prior_eo_std[ii, 3:6] = tbl.ang_std[:, jj].T
+            fixed_a = (tbl.ang_std[:, jj] == 0).T
+            self.prior_eo_use[ii, 3:6] = ~fixed_a
+            self.est_eo[ii, 3:6] = ~fixed_a
+
     def set_cpt(self, pts, i, j, is_ctrl: bool = True) -> None:
         """Install control/check points (code/misc/setcpt.m)."""
         self.cpt_file = pts.file_name

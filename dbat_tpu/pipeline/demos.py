@@ -121,3 +121,58 @@ def prague_sxb(label: str = "s2", orient: bool = False, damping: str = "gna",
         s, damping=damping, trace=trace, dtype=jnp.float64
     )
     return result, ok, iters, sigma0, info
+
+
+def sxb_prior_eo(use_prior_eo: bool = True, damping: str = "gna",
+                 trace: bool = False):
+    """Prior-EO observation demo (ref code/demo/sxb_prior_eo.m).
+
+    wsmart-with-orient network with weighted CPs; optionally adds prior
+    camera positions from fake-camera-positions.txt (accuracy 5 cm).
+    Expected: sigma0 1.07447 without prior EO, 1.06942 with (12 EO
+    prior observations), both in 4 iterations
+    (sxb-{no-,}prior-eo-dbatreport.txt).
+    """
+    import os.path as osp
+
+    import jax.numpy as jnp
+
+    from ..core.project import from_pm
+    from ..geometry.initvals import forward_intersect, resect
+    from ..io.cpt import load_cpt
+    from ..io.eotable import legacy_load_eo_table
+    from ..io.pm import load_pm
+    from ..solve.bundle import bundle
+
+    input_dir = osp.join(REFERENCE_DATA, "prague2016", "sxb")
+    prob = load_pm(
+        osp.join(input_dir, "pmexports", "wsmart-with-orient-pmexport.txt")
+    )
+    s = from_pm(prob)
+    s.set_cam_vals_loaded()
+    s.set_cam_est("not", "all")
+
+    pts = load_cpt(osp.join(input_dir, "ref", "ctrlpts-weighted.txt"))
+    i, j = s.match_cpt(pts, match="id")
+    s.set_cpt(pts, i, j)
+
+    if use_prior_eo:
+        tbl = legacy_load_eo_table(
+            osp.join(input_dir, "ref", "fake-camera-positions.txt"),
+            has=(False, True),
+        )
+        i, j = s.match_eo(tbl)
+        s.set_prior_eo(tbl, i, j)
+
+    s.clear_eo()
+    s.clear_op()
+    cp_id = s.op_id[s.is_ctrl]
+    rms, fail = resect(s, "all", cp_id, 1, 0, cp_id)
+    if fail:
+        raise RuntimeError("Resection failed")
+    forward_intersect(s, "all", skip_prior=True)
+
+    result, ok, iters, sigma0, info = bundle(
+        s, damping=damping, trace=trace, dtype=jnp.float64
+    )
+    return result, ok, iters, sigma0, info
