@@ -459,16 +459,39 @@ def from_pm(prob: PmProject, individual_cameras: bool = False) -> Project:
         (is_ctrl & ~np.all(prior_op_std == 0, axis=1))[:, None], (1, 3)
     )
 
-    # Labels: control points labelled by id (loadpm.m:380-382).
+    # Labels: control points labelled by id (loadpm.m:380-382), or by
+    # the source's label table when provided (PSZ markers).
     op_labels = ["" for _ in range(n_op)]
-    for k in np.flatnonzero(is_ctrl):
+    for k in np.flatnonzero(is_ctrl | is_check):
         op_labels[k] = str(all_ids[k])
+    if getattr(prob, "op_labels_by_id", None):
+        for k, oid in enumerate(all_ids):
+            lbl = prob.op_labels_by_id.get(int(oid))
+            if lbl:
+                op_labels[k] = lbl
+
+    # Prior camera positions (prob2dbatstruct.m:466-472).
+    pcp = getattr(prob, "prior_cam_pos", None)
+    if pcp is not None and len(pcp):
+        cam_id_arr = np.array([im.id for im in prob.images])
+        common, ia, ib = np.intersect1d(
+            cam_id_arr, pcp[:, 0].astype(int), return_indices=True
+        )
+        # applied below after prior arrays are built
 
     import os.path as osp
 
     names = [im.name for im in prob.images]
     im_dir = osp.dirname(osp.commonprefix(names)) if names else ""
     labels = [n[len(im_dir) + 1:] if im_dir else n for n in names]
+
+    prior_eo_val = eo.copy()
+    prior_eo_std = eo_std
+    prior_eo_use = prior_eo_use
+    if pcp is not None and len(pcp) and len(ia):
+        prior_eo_val[ia, 0:3] = pcp[ib, 1:4]
+        prior_eo_std[ia, 0:3] = pcp[ib, 4:7]
+        prior_eo_use[ia, 0:3] = True
 
     return Project(
         io=io,
@@ -488,8 +511,8 @@ def from_pm(prob: PmProject, individual_cameras: bool = False) -> Project:
         prior_io_val=io.copy(),
         prior_io_std=io_std,
         prior_io_use=prior_io_use,
-        prior_eo_val=eo.copy(),
-        prior_eo_std=eo_std,
+        prior_eo_val=prior_eo_val,
+        prior_eo_std=prior_eo_std,
         prior_eo_use=prior_eo_use,
         prior_op_val=prior_op_val,
         prior_op_std=prior_op_std,

@@ -56,6 +56,8 @@ class PmProject:
     check_pts: np.ndarray = None
     obj_pts: np.ndarray = None  # (n,7)
     mark_pts: np.ndarray = None  # (n,6) [photo,id,x,y,sx,sy]
+    prior_cam_pos: np.ndarray = None  # (n,7) [id,x,y,z,sx,sy,sz] or None
+    op_labels_by_id: dict = None  # optional {id: label}
 
 
 def _numbers(s: str) -> np.ndarray:

@@ -123,6 +123,72 @@ def prague_sxb(label: str = "s2", orient: bool = False, damping: str = "gna",
     return result, ok, iters, sigma0, info
 
 
+def ps_postproc(file_name: str = None, use_semilocal: bool = False,
+                min_rays: int = 0, min_angle: float = 0.0,
+                damping: str = "gna", trace: bool = False, backend="auto"):
+    """Re-adjust a PhotoScan/Metashape .psz project
+    (ref code/demo/ps_postproc.m).
+
+    Default project: prague2016 sxb.psz. Expected
+    (sxb-dbatreport.txt): sigma0 0.710294 (0.0710294 px), 3576 params
+    (30 EO, 3546 OP), 8180 obs (8132 IP, 48 OP), 3 iterations.
+    """
+    import os.path as osp
+
+    import jax.numpy as jnp
+
+    from ..core.project import from_pm
+    from ..geometry.quality import point_angles, ray_counts
+    from ..io.psz import load_psz, psz_to_pm
+    from ..solve.bundle import bundle
+
+    if file_name is None:
+        file_name = osp.join(REFERENCE_DATA, "prague2016", "sxb",
+                             "psprojects", "sxb.psz")
+    psz = load_psz(file_name)
+    prob = psz_to_pm(psz, use_semilocal=use_semilocal)
+    s = from_pm(prob)
+    s.dist_model = -1
+
+    # Ray-count / intersection-angle OP filtering (loadplotpsz.m:55-80).
+    if min_rays > 0 or min_angle > 0:
+        bad = np.zeros(s.n_op, dtype=bool)
+        if min_rays > 0:
+            bad |= (ray_counts(s) < min_rays) & ~s.is_ctrl
+        if min_angle > 0:
+            ang = point_angles(s) * 180 / np.pi
+            bad |= (ang < min_angle) & ~s.is_ctrl
+        ids2remove = s.op_id[bad]
+        prob.obj_pts = prob.obj_pts[
+            ~np.isin(prob.obj_pts[:, 0], ids2remove)
+        ]
+        prob.mark_pts = prob.mark_pts[
+            ~np.isin(prob.mark_pts[:, 1], ids2remove)
+        ]
+        s = from_pm(prob)
+        s.dist_model = -1
+
+    # Self-calibration flags per PS project (ps_postproc.m:44-66).
+    if psz.camera.is_adjusted:
+        g, o = psz.camera.given_params, psz.camera.optimized_params
+        s.set_cam_est("not", "all")
+        if g.get("f") or o.get("f"):
+            s.set_cam_est("cc")
+        if g.get("cxcy") or o.get("cxcy"):
+            s.set_cam_est("px", "py")
+        for i in range(3):
+            if g["k"][i] or o["k"][i]:
+                s.set_cam_est(f"K{i+1}")
+        for i in range(2):
+            if g["p"][i] or o["p"][i]:
+                s.set_cam_est(f"P{i+1}")
+
+    result, ok, iters, sigma0, info = bundle(
+        s, damping=damping, trace=trace, dtype=jnp.float64, backend=backend
+    )
+    return result, ok, iters, sigma0, info
+
+
 def sxb_prior_eo(use_prior_eo: bool = True, damping: str = "gna",
                  trace: bool = False):
     """Prior-EO observation demo (ref code/demo/sxb_prior_eo.m).
