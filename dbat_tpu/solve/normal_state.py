@@ -21,7 +21,11 @@ import jax.numpy as jnp
 from functools import partial
 
 
+from .precision import with_highest_precision
+
+
 @partial(jax.jit, static_argnames=())
+@with_highest_precision
 def _dense_solve(N, rhs, lam):
     """Jacobi-scaled Cholesky solve of (N + lam I) x = rhs.
 

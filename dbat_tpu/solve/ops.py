@@ -104,10 +104,13 @@ class BundleOps:
         if mesh is not None:
             self._apply_mesh(mesh)
 
-        # Jitted entry points.
+        # Jitted entry points (HIGHEST matmul precision: TPU f32
+        # matmuls otherwise run at bf16 — see precision.py).
+        from .precision import with_highest_precision
+
         self.residuals = jax.jit(self._residuals)
         self.weighted_residual = jax.jit(self._weighted_residual)
-        self._normal_jit = jax.jit(self._normal)
+        self._normal_jit = jax.jit(with_highest_precision(self._normal))
 
     def _apply_mesh(self, mesh):
         """Shard per-observation arrays over the 'obs' mesh axis; GSPMD

@@ -1,0 +1,42 @@
+"""XML script pipeline regression (ref code/script/rundbatscript.m).
+
+Golden values from the shipped script results:
+  camcaldemo.xml: sigma0 1.6148, cc 7.45699532273933752 (c4040z.xml)
+  romabundledemo.xml: sigma0 0.582769, 79321 params, 5 iterations
+  sxb.xml: sigma0 1.1786 (0.589299 px), 1173 params
+"""
+
+import numpy as np
+import pytest
+
+from dbat_tpu.pipeline.script import run_script
+
+SCRIPTS = "/root/reference/data/script"
+
+
+def test_camcaldemo_script(tmp_path):
+    r = run_script(f"{SCRIPTS}/camcaldemo/camcaldemo.xml",
+                   output_dir=str(tmp_path))
+    assert r.ok
+    assert r.sigma0 == pytest.approx(1.6148, abs=2e-4)
+    assert r.project.io[0, 0] == pytest.approx(7.45699532273934, abs=1e-8)
+    assert len(r.outputs) == 4
+    report = (tmp_path / "result" / "report.txt").read_text()
+    assert "Sigma0:                 1.6148" in report
+
+
+@pytest.mark.slow
+def test_romabundledemo_script():
+    r = run_script(f"{SCRIPTS}/romabundledemo/romabundledemo.xml",
+                   write_outputs=False)
+    assert r.ok
+    assert r.sigma0 == pytest.approx(0.582769, abs=2e-5)
+    assert r.info.num_params == 79321
+    assert r.iters == 5
+
+
+def test_sxb_script(tmp_path):
+    r = run_script(f"{SCRIPTS}/sxb/sxb.xml", output_dir=str(tmp_path))
+    assert r.ok
+    assert r.sigma0 == pytest.approx(1.1786, abs=2e-4)
+    assert r.info.num_params == 1173
