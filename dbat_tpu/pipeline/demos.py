@@ -62,6 +62,58 @@ def camcal(damping: str = "gna", data_dir: str = None, trace: bool = False,
     return result, ok, iters, sigma0, info
 
 
+def camcal_error_demo(which: str, damping: str = "gna"):
+    """Error-detection demos (ref code/demo/camcaldemo_{1ray,
+    missing_obs,no_datum}.m): deliberately broken networks exercising
+    the rank-forensics paths.
+
+    which: '1ray' (structural deficiency 1), 'missing-obs' (structural
+    deficiency 6: unobserved image), 'no-datum' (numerical deficiency
+    7: free-network gauge).  Expected reports:
+    camcal-dbatreport-{1ray,missing-obs,no-datum}.txt.
+    """
+    import os.path as osp
+
+    from ..core.project import from_pm
+    from ..geometry.initvals import forward_intersect, resect
+    from ..io.cpt import load_cpt
+    from ..io.pm import load_pm
+    from ..solve.bundle import bundle
+
+    data_dir = osp.join(REFERENCE_DATA, "dbat")
+    suffix = {"1ray": "-1ray", "missing-obs": "-missing-obs",
+              "no-datum": ""}[which]
+    prob = load_pm(
+        osp.join(data_dir, "pmexports", f"camcal-pmexport{suffix}.txt")
+    )
+    s = from_pm(prob)
+    s.dist_model = 3
+    s.set_cam_vals_default(7.3)
+    s.set_cam_est("all", "not", "sk")
+    s.set_eo_est("all")
+
+    if which == "no-datum":
+        # No control points, no resection: initial values from the PM
+        # file; the free network has a 7-dof gauge deficiency.
+        return bundle(s, damping=damping)
+
+    s.clear_eo()
+    if not s.is_ctrl.any():
+        s.is_ctrl = s.op_id > 1000
+    pts = load_cpt(osp.join(data_dir, "ref", "camcal-fixed.txt"))
+    i, j = s.match_cpt(pts)
+    s.set_cpt(pts, i, j)
+    s.clear_op()
+    cp_id = s.op_id[s.is_ctrl]
+    resect(s, "all", cp_id, 1, 0, cp_id)
+    forward_intersect(s, "all", skip_prior=True)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        return bundle(s, damping=damping)
+
+
 def prague_sxb(label: str = "s2", orient: bool = False, damping: str = "gna",
                trace: bool = False):
     """Prague 2016 sxb aerial experiments (ref code/demo/prague2016_pm.m).

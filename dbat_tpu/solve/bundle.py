@@ -133,7 +133,13 @@ def bundle(
     x0 = ops.x0()
 
     if bool(jnp.any(jnp.isnan(x0))):
-        raise ValueError("Initial values contain NaN (uninitialized EO/OP?)")
+        # NaN-poisoned initial values (cleareo/clearop) flow through on
+        # purpose: the solver's structural-rank check (run before any
+        # numerics) identifies the uninitializable parameters — the
+        # reference's error-detection path (camcaldemo_1ray etc.).
+        import warnings
+
+        warnings.warn("Initial values contain NaN (uninitialized EO/OP?)")
 
     if abs_term:
         term_fun = lambda jp, r: r <= conv_tol  # noqa: E731

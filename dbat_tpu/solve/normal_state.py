@@ -60,5 +60,14 @@ class DenseNormalState:
 
     def solve(self, rhs, lam: float = 0.0):
         sol, L = _dense_solve(self.N, rhs, lam)
-        failed = bool(jnp.any(jnp.isnan(L)))
+        # Singularity test mirroring MATLAB's (nearly-)singular warning
+        # (gauss_newton_armijo.m:176-184): NaN factor = exactly
+        # singular; a tiny pivot of the unit-diagonal scaled factor =
+        # numerically rank deficient (e.g. datum-free networks).
+        import numpy as np
+
+        eps = float(jnp.finfo(L.dtype).eps)
+        tol = np.sqrt(self.n_x * eps)
+        d = jnp.diagonal(L)
+        failed = bool(jnp.any(jnp.isnan(d))) or float(jnp.min(d)) < tol
         return sol, failed
