@@ -89,17 +89,38 @@ class SchurOps(BundleOps):
         self.op_prior_pt = jnp.asarray(op_pr_flat // 3, jnp.int32)
         self.op_prior_coord = jnp.asarray(op_pr_flat % 3, jnp.int32)
 
-        # Observation pairs for the S fill-in.
+        # Observation pairs for the S fill-in, aggregated per camera
+        # pair: all pairs with the same (img(i1), img(i2)) scatter into
+        # the same (n_cb, n_cb) block of S, so we segment-sum into a
+        # compact per-camera-pair buffer first and scatter blocks once.
         i1, i2 = _build_pairs(np.asarray(project.obs_pt))
         self.n_pairs = len(i1)
+        obs_img_np = np.asarray(project.obs_img, dtype=np.int64)
+        key = obs_img_np[i1] * project.n_img + obs_img_np[i2]
+        order = np.argsort(key, kind="stable")
+        i1, i2, key = i1[order], i2[order], key[order]
+        ukey, cp_of_pair = np.unique(key, return_inverse=True)
+        self.n_campair = len(ukey)
+        self.campair_img1 = jnp.asarray(ukey // project.n_img, jnp.int32)
+        self.campair_img2 = jnp.asarray(ukey % project.n_img, jnp.int32)
+
         pc = pair_chunk
         pad = (-len(i1)) % pc
-        # Padding pairs point at a scratch observation (index n_obs) whose
-        # camera columns are all -1 -> scatter to the dump row.
+        # Padding pairs point at a scratch observation (index n_obs)
+        # and the dump camera-pair row (index n_campair).
         i1 = np.concatenate([i1, np.full(pad, self.n_obs)])
         i2 = np.concatenate([i2, np.full(pad, self.n_obs)])
+        cp_of_pair = np.concatenate([cp_of_pair, np.full(pad, self.n_campair)])
         self.pair_i1 = jnp.asarray(i1.reshape(-1, pc), jnp.int32)
         self.pair_i2 = jnp.asarray(i2.reshape(-1, pc), jnp.int32)
+        self.pair_cp = jnp.asarray(cp_of_pair.reshape(-1, pc), jnp.int32)
+
+        # Camera columns per image (identical for every obs of an
+        # image): x indices of [IO cols, EO cols], -1 when fixed.
+        img_cols = np.concatenate(
+            [np.asarray(spec.io_x), np.asarray(spec.eo_x)], axis=1
+        ).astype(np.int32)
+        self.img_cols = jnp.asarray(img_cols)
 
         if mesh is not None:
             self.mesh = mesh
@@ -197,33 +218,39 @@ class SchurOps(BundleOps):
 
     # ------------------------------------------------------------------
     def _schur_S(self, U, Vinv, Wb, lam):
-        """S = U + lam I - sum_pairs W_i1 Vinv_j W_i2', chunked."""
+        """S = U + lam I - sum_pairs W_i1 Vinv_j W_i2'.
+
+        Factor Vinv_j = L_j L_j' once per point, form Y_i = W_i L_j per
+        observation, segment-sum pair outer products Y_i1 Y_i2' into a
+        per-camera-pair block buffer (scan over fixed-size chunks), and
+        scatter the aggregated blocks into S once."""
         nc = self.n_c
-        ccols = jnp.where(self.cam_cols >= 0, self.cam_cols, nc)
-        # Scratch row for padded pairs / fixed cols.
-        ccols_pad = jnp.concatenate(
-            [ccols, jnp.full((1, self.n_cb), nc, jnp.int32)], axis=0
+        Lv = jnp.linalg.cholesky(Vinv)
+        Y = jnp.einsum("nab,nbc->nac", Wb, Lv[self.obs_pt])
+        Y_pad = jnp.concatenate(
+            [Y, jnp.zeros((1, self.n_cb, 3), self.dtype)], axis=0
         )
-        Wb_pad = jnp.concatenate(
-            [Wb, jnp.zeros((1, self.n_cb, 3), self.dtype)], axis=0
+
+        acc0 = jnp.zeros((self.n_campair + 1, self.n_cb, self.n_cb),
+                         self.dtype)
+
+        def body(acc, chunk):
+            i1, i2, cp = chunk
+            contrib = jnp.einsum("pac,pbc->pab", Y_pad[i1], Y_pad[i2])
+            return acc.at[cp].add(contrib), None
+
+        acc, _ = jax.lax.scan(
+            body, acc0, (self.pair_i1, self.pair_i2, self.pair_cp)
         )
-        pt_pad = jnp.concatenate([self.obs_pt, jnp.zeros(1, jnp.int32)])
+        acc = acc[: self.n_campair]
 
-        S0 = jnp.zeros((nc + 1, nc + 1), self.dtype)
-        S0 = S0.at[:nc, :nc].set(U + lam * jnp.eye(nc, dtype=self.dtype))
-
-        def body(S, pair):
-            i1, i2 = pair
-            W1 = Wb_pad[i1]  # (pc, n_cb, 3)
-            W2 = Wb_pad[i2]
-            Vi = Vinv[pt_pad[i1]]  # (pc, 3, 3)
-            contrib = jnp.einsum("pac,pcd,pbd->pab", W1, Vi, W2)
-            c1 = ccols_pad[i1]
-            c2 = ccols_pad[i2]
-            S = S.at[c1[:, :, None], c2[:, None, :]].add(-contrib)
-            return S, None
-
-        S, _ = jax.lax.scan(body, S0, (self.pair_i1, self.pair_i2))
+        S = jnp.zeros((nc + 1, nc + 1), self.dtype)
+        S = S.at[:nc, :nc].set(U + lam * jnp.eye(nc, dtype=self.dtype))
+        c1 = self.img_cols[self.campair_img1]
+        c2 = self.img_cols[self.campair_img2]
+        c1 = jnp.where(c1 >= 0, c1, nc)
+        c2 = jnp.where(c2 >= 0, c2, nc)
+        S = S.at[c1[:, :, None], c2[:, None, :]].add(-acc)
         return S[:nc, :nc]
 
     def _solve_impl(self, U, V, Wb, rhs, lam):
