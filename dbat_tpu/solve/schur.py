@@ -170,12 +170,15 @@ class SchurOps(BundleOps):
         vw = v * self.w_ip
 
         nc = self.n_c
-        ccols = jnp.where(self.cam_cols >= 0, self.cam_cols, nc)
+        n_img = self.base_eo.shape[0]
 
-        # U: camera-camera block.
+        # U: camera-camera block — aggregate per image first (all obs
+        # of an image share columns), then scatter 1 block per image.
         Ublk = jnp.einsum("nka,nkb->nab", A, A)
+        Uimg = jax.ops.segment_sum(Ublk, self.obs_img, num_segments=n_img)
+        icols = jnp.where(self.img_cols >= 0, self.img_cols, nc)
         U = jnp.zeros((nc + 1, nc + 1), self.dtype)
-        U = U.at[ccols[:, :, None], ccols[:, None, :]].add(Ublk)
+        U = U.at[icols[:, :, None], icols[:, None, :]].add(Uimg)
 
         # V: per-point 3x3 blocks.
         Vblk = jnp.einsum("nka,nkb->nab", B, B)
@@ -185,8 +188,12 @@ class SchurOps(BundleOps):
         Wb = jnp.einsum("nka,nkb->nab", A, B)  # (n_obs, n_cb, 3)
 
         # gradients
+        gimg = jax.ops.segment_sum(
+            jnp.einsum("nka,nk->na", A, vw), self.obs_img,
+            num_segments=n_img,
+        )
         gc = jnp.zeros(nc + 1, self.dtype)
-        gc = gc.at[ccols].add(jnp.einsum("nka,nk->na", A, vw))
+        gc = gc.at[icols].add(gimg)
         gp = jax.ops.segment_sum(
             jnp.einsum("nka,nk->na", B, vw), self.obs_pt, num_segments=self.n_pt
         )
@@ -261,11 +268,13 @@ class SchurOps(BundleOps):
 
         S = self._schur_S(U, Vinv, Wb, lam)
 
-        # rc_tilde = rc - sum_i W_i (Vinv rp)_pt(i)
+        # rc_tilde = rc - sum_i W_i (Vinv rp)_pt(i), aggregated per image.
+        n_img = self.base_eo.shape[0]
         t = jnp.einsum("nab,nb->na", Vinv[self.obs_pt], rp[self.obs_pt])
         contrib = jnp.einsum("nab,nb->na", Wb, t)  # (n_obs, n_cb)
-        ccols = jnp.where(self.cam_cols >= 0, self.cam_cols, nc)
-        rc_t = jnp.zeros(nc + 1, self.dtype).at[ccols].add(-contrib)[:nc] + rc
+        cimg = jax.ops.segment_sum(contrib, self.obs_img, num_segments=n_img)
+        icols = jnp.where(self.img_cols >= 0, self.img_cols, nc)
+        rc_t = jnp.zeros(nc + 1, self.dtype).at[icols].add(-cimg)[:nc] + rc
 
         # Jacobi-scaled Cholesky on S.  In f32 the bundle camera system
         # can exceed the f32 condition limit, so we regularize the
@@ -299,7 +308,7 @@ class SchurOps(BundleOps):
 
         # rp_tilde = rp - Npc pc ; pp = Vinv rp_tilde
         pc_pad = jnp.concatenate([pc, jnp.zeros(1, self.dtype)])
-        pcg = pc_pad[ccols]  # (n_obs, n_cb)
+        pcg = pc_pad[icols][self.obs_img]  # (n_obs, n_cb)
         down = jnp.einsum("nab,na->nb", Wb, pcg)  # (n_obs, 3)
         rp_t = rp - jax.ops.segment_sum(down, self.obs_pt, num_segments=self.n_pt)
         pp = jnp.einsum("nab,nb->na", Vinv, rp_t) * self.op_mask
@@ -308,14 +317,16 @@ class SchurOps(BundleOps):
 
     def _matvec_impl(self, U, V, Wb, p):
         nc = self.n_c
+        n_img = self.base_eo.shape[0]
         pc, P = self.split_x(p)
-        ccols = jnp.where(self.cam_cols >= 0, self.cam_cols, nc)
+        icols = jnp.where(self.img_cols >= 0, self.img_cols, nc)
         pc_pad = jnp.concatenate([pc, jnp.zeros(1, self.dtype)])
-        pcg = pc_pad[ccols]
+        pcg = pc_pad[icols][self.obs_img]
 
         yc = U @ pc
         up = jnp.einsum("nab,nb->na", Wb, P[self.obs_pt])  # (n_obs,n_cb)
-        yc = (jnp.zeros(nc + 1, self.dtype).at[ccols].add(up))[:nc] + yc
+        uimg = jax.ops.segment_sum(up, self.obs_img, num_segments=n_img)
+        yc = (jnp.zeros(nc + 1, self.dtype).at[icols].add(uimg))[:nc] + yc
 
         yp = jnp.einsum("jab,jb->ja", V, P)
         yp = yp + jax.ops.segment_sum(
