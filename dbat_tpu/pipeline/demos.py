@@ -14,13 +14,16 @@ REFERENCE_DATA = "/root/reference/data"
 
 
 def camcal(damping: str = "gna", data_dir: str = None, trace: bool = False,
-           dtype=None):
-    """Camera calibration demo (ref code/demo/camcaldemo.m).
+           dtype=None, model: int = 3):
+    """Camera calibration demo (ref code/demo/camcaldemo.m,
+    camcaldemo_allmodels.m via `model`).
 
     21-image Olympus C4040Z calibration network; self-calibration of
     all IO parameters but skew; EO by resection, OP by intersection;
-    fixed control points 1001-1004.  Expected (camcal-dbatreport.txt):
-    sigma0 = 1.6148 (0.16148 px), cc = 7.457 mm, 9 GNA iterations.
+    fixed control points 1001-1004.  Expected (camcal-dbatreport.txt
+    and camcal-dbatreport-model*.txt): sigma0 by model:
+    -1: 1.62168, 1/2: 1.68901, 3: 1.6148, 4: 1.61247, 5: 1.6148;
+    all in 9 GNA iterations; cc = 7.457 mm for model 3.
     """
     import jax.numpy as jnp
 
@@ -36,7 +39,7 @@ def camcal(damping: str = "gna", data_dir: str = None, trace: bool = False,
 
     prob = load_pm(osp.join(data_dir, "pmexports", "camcal-pmexport.txt"))
     s = from_pm(prob)
-    s.dist_model = 3  # camcaldemo.m:62
+    s.dist_model = model  # camcaldemo.m:62 (3); allmodels loops -1,1..5
     s.set_cam_vals_default(7.3)  # EXIF focal
     s.set_cam_est("all", "not", "sk")
     s.set_eo_est("all")
