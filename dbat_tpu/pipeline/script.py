@@ -190,7 +190,53 @@ def run_script(xml_path: str, damping: str = "gna", trace: bool = False,
             fbase = output_dir or _base_dir(files, doc_dir)
             res.outputs = _write_outputs(s, bundle_out, files, fbase,
                                          doc_dir, xml_path, damping)
+        plots = out.find("plots")
+        if plots is not None and (output_dir or files is not None):
+            pbase = output_dir or _base_dir(files, doc_dir)
+            res.outputs += _write_plots(s, bundle_out, plots, pbase)
     return res
+
+
+def _write_plots(s, info, plots, base):
+    """<plots> section -> PNG files (parseoutput.m plot dispatch)."""
+    from .. import plotting
+
+    written = []
+    pdir = osp.join(base, "plots")
+    os.makedirs(pdir, exist_ok=True)
+    for pl in plots.findall("plot"):
+        kind = (pl.text or "").strip()
+        path = osp.join(pdir, f"{kind}.png")
+        try:
+            if kind == "image":
+                img_id = int(pl.get("id", "1")) - 1
+                plotting.plot_images(s, img_id, save=path)
+            elif kind == "image_stats":
+                plotting.plot_image_stats(s, info, save=path)
+            elif kind == "op_stats":
+                plotting.plot_op_stats(
+                    s, info, max_op=int(pl.get("max_op", "1000")), save=path
+                )
+            elif kind == "coverage":
+                plotting.plot_coverage(
+                    s, convex_hull=pl.get("convex_hull", "") == "true",
+                    save=path,
+                )
+            elif kind == "params":
+                plotting.plot_params(s, info, save=path)
+            elif kind == "iteration_trace":
+                plotting.plot_network(
+                    s, info, iteration=-1,
+                    cam_size=float(pl.get("cam_size", "0.1")), save=path,
+                )
+            else:
+                continue
+            written.append(path)
+        except Exception as e:  # plots must never fail the pipeline
+            import warnings
+
+            warnings.warn(f"plot {kind} failed: {e}")
+    return written
 
 
 def _set_initial_values(s, el, cameras):
