@@ -93,7 +93,9 @@ def test_lnz_roundtrip(tmp_path):
     s.set_cam_est("cc")
     # Start slightly off in cc; bundle recovers the focal.
     s.io[:, 0] = 7.1
+    # Corner coordinates are written with 6 decimals, so the residual
+    # floor is ~1e-4 in weighted units.
     result, ok, iters, sigma0, info = bundle(s, abs_term=True,
-                                             conv_tol=1e-6)
+                                             conv_tol=1e-3)
     assert ok
     assert result.io[0, 0] == pytest.approx(7.0, abs=1e-6)
