@@ -20,7 +20,7 @@ def test_camcaldemo_script(tmp_path):
     assert r.ok
     assert r.sigma0 == pytest.approx(1.6148, abs=2e-4)
     assert r.project.io[0, 0] == pytest.approx(7.45699532273934, abs=1e-8)
-    assert len(r.outputs) == 4
+    assert len(r.outputs) == 10  # 4 files + 6 plots
     report = (tmp_path / "result" / "report.txt").read_text()
     assert "Sigma0:                 1.6148" in report
 
