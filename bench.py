@@ -47,6 +47,8 @@ def main():
     x0 = ops.x0()
     gen_time = time.time() - t0
 
+    from dbat_tpu.solve.precision import with_highest_precision
+
     def gn_iteration(x):
         U, V, Wb, gc, gp, rw = ops._assemble_impl(x)
         g = ops.join_x(gc, gp)
@@ -56,7 +58,7 @@ def main():
         ok = r1 @ r1 < rw @ rw
         return jnp.where(ok, x + p, x + 0.5 * p), jnp.sqrt(rw @ rw)
 
-    step = jax.jit(gn_iteration)
+    step = jax.jit(with_highest_precision(gn_iteration))
 
     t0 = time.time()
     x, rn = step(x0)
