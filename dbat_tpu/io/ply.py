@@ -63,3 +63,43 @@ def ply_read(path: str) -> dict:
         off += dt.itemsize * count
         out[name] = {p: np.array(arr[p]) for p, _ in props}
     return out
+
+
+def ply_write(path: str, elements: dict, fmt: str = "binary_little_endian"):
+    """Write a PLY file (ref code/xchg/ply_write.m).
+
+    elements: {element_name: {prop_name: array}} — all arrays in an
+    element must share length; dtypes map to PLY scalar types.
+    """
+    inv = {"i1": "char", "u1": "uchar", "i2": "short", "u2": "ushort",
+           "i4": "int", "u4": "uint", "f4": "float", "f8": "double"}
+    header = ["ply", f"format {fmt} 1.0"]
+    bodies = []
+    for name, props in elements.items():
+        arrs = {p: np.asarray(v) for p, v in props.items()}
+        n = len(next(iter(arrs.values())))
+        header.append(f"element {name} {n}")
+        dt_items = []
+        for p, v in arrs.items():
+            code = v.dtype.str[1:]
+            if code not in inv:
+                v = v.astype(np.float64)
+                code = "f8"
+                arrs[p] = v
+            header.append(f"property {inv[code]} {p}")
+            dt_items.append((p, ("<" if "little" in fmt else ">") + code))
+        rec = np.empty(n, dtype=np.dtype(dt_items))
+        for p, v in arrs.items():
+            rec[p] = v
+        bodies.append(rec)
+    header.append("end_header")
+    with open(path, "wb") as fh:
+        fh.write(("\n".join(header) + "\n").encode("ascii"))
+        if fmt == "ascii":
+            for rec in bodies:
+                for row in rec:
+                    fh.write((" ".join(str(x) for x in row) + "\n")
+                             .encode("ascii"))
+        else:
+            for rec in bodies:
+                fh.write(rec.tobytes())

@@ -95,10 +95,14 @@ def write_report(project, info, path, damping="gna", conv_tol=1e-6,
     add("      Project Problems:")
     ws = info.weakness.get("structural")
     wn = info.weakness.get("numerical")
-    add("         Structural rank: "
-        + ("ok." if ws is None else
-           f"deficiency {ws['deficiency']}; suspected parameters: "
-           f"{list(np.asarray(ws['suspected_params']))}"))
+    if ws is None:
+        add("         Structural rank: ok.")
+    else:
+        sus = np.asarray(ws["suspected_params"])
+        if info.param_types:
+            sus = [info.param_types[k] for k in sus]
+        add(f"         Structural rank: deficiency {ws['deficiency']}; "
+            f"suspected parameters: {list(sus)}")
     add("         Numerical rank: "
         + ("ok." if wn is None else f"deficiency {wn.get('deficiency')}"))
     problems = []

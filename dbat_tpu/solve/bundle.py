@@ -173,6 +173,8 @@ def bundle(
         )
     elapsed = time.time() - t0
 
+    from ..core.paramtypes import param_names
+
     info = BundleInfo(
         damping=res.damping,
         res_norms=res.res_norms,
@@ -182,6 +184,7 @@ def bundle(
         time=elapsed,
         ops=ops,
         spec=spec,
+        param_types=param_names(project, spec),
     )
 
     ok = res.code == solvers.OK
