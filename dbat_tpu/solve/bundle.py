@@ -91,6 +91,7 @@ def bundle(
     dtype=jnp.float64,
     backend: str = "auto",
     mesh=None,
+    fused: bool = False,
 ):
     """Run the damped bundle adjustment on a Project.
 
@@ -149,7 +150,18 @@ def bundle(
     veto_fun = chirality_veto(ops) if veto else None
 
     t0 = time.time()
-    if damping in ("none", "gm"):
+    if fused:
+        if damping != "gna":
+            raise ValueError("fused solver supports GNA only")
+        from .schur import SchurOps as _S
+
+        if not isinstance(ops, _S):
+            raise ValueError("fused solver requires the schur backend")
+        from .fused import fused_gna
+
+        res = fused_gna(ops, x0, max_iter=max_iter, conv_tol=conv_tol,
+                        abs_term=abs_term)
+    elif damping in ("none", "gm"):
         res = solvers.gauss_markov(
             ops, x0, max_iter=max_iter, term_fun=term_fun,
             singular_test=singular_test, do_trace=trace,

@@ -1,0 +1,118 @@
+"""Device-resident fused Gauss-Newton-Armijo solver.
+
+The host-loop solvers in solvers.py round-trip scalars every iteration,
+which costs real wall-clock over a tunneled TPU. This variant runs the
+entire damped iteration — assembly, Schur solve, Armijo backtracking,
+termination — inside one `lax.while_loop` under a single jit, with
+fixed-size trace buffers. Semantics match gauss_newton_armijo
+(code/bundle/lsa/gauss_newton_armijo.m): relative/absolute
+termination, mu=0.1, alpha halving down to alpha_min, status codes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .precision import with_highest_precision
+from .solvers import LINESEARCH_FAILED, OK, SolveResult, TOO_MANY_ITERS
+
+
+def fused_gna(ops, x0, max_iter: int = 20, conv_tol: float = 1e-6,
+              abs_term: bool = False, mu: float = 0.1,
+              alpha_min: float = 1e-9) -> SolveResult:
+    """Run GNA fully on device. `ops` must be a SchurOps."""
+    dtype = ops.dtype
+    tol = jnp.asarray(conv_tol, dtype)
+
+    def one_solve(x):
+        U, V, Wb, gc, gp, rw = ops._assemble_impl(x)
+        g = ops.join_x(gc, gp)
+        p, _L = ops._solve_impl(U, V, Wb, -g, jnp.asarray(0.0, dtype))
+        Np = ops._matvec_impl(U, V, Wb, p)
+        return p, g, rw, Np
+
+    def linesearch(x, p, f0, fp0):
+        def cond(st):
+            alpha, accepted, _f = st
+            return (~accepted) & (alpha >= alpha_min)
+
+        def body(st):
+            alpha, _acc, _f = st
+            r = ops._weighted_residual(x + alpha * p)
+            f = 0.5 * (r @ r)
+            ok = f < f0 + mu * alpha * fp0
+            return (jnp.where(ok, alpha, alpha / 2.0), ok, f)
+
+        alpha, accepted, f = jax.lax.while_loop(
+            cond, body, (jnp.asarray(1.0, dtype), jnp.asarray(False), f0)
+        )
+        return jnp.where(accepted, alpha, 0.0)
+
+    @jax.jit
+    @with_highest_precision
+    def run(x0):
+        res_buf = jnp.full(max_iter + 2, jnp.nan, dtype)
+        alpha_buf = jnp.full(max_iter + 1, jnp.nan, dtype)
+
+        def cond(st):
+            x, n, code, done, res_buf, alpha_buf = st
+            return (~done) & (code == OK)
+
+        def body(st):
+            x, n, code, done, res_buf, alpha_buf = st
+            p, g, rw, Np = one_solve(x)
+            rnorm = jnp.sqrt(rw @ rw)
+            res_buf = res_buf.at[n].set(rnorm)
+            jp_norm = jnp.sqrt(jnp.maximum(p @ Np, 0.0))
+            term = jnp.where(abs_term, rnorm <= tol, jp_norm <= tol * rnorm)
+
+            f0 = 0.5 * rnorm**2
+            fp0 = g @ p
+            alpha = jnp.where(term, 0.0, linesearch(x, p, f0, fp0))
+            x_new = jnp.where(term, x, x + alpha * p)
+            alpha_buf = jnp.where(
+                term, alpha_buf, alpha_buf.at[n].set(alpha)
+            )
+            fail_ls = (~term) & (alpha == 0.0)
+            over = (~term) & (n + 1 > max_iter)
+            code = jnp.where(
+                fail_ls, LINESEARCH_FAILED,
+                jnp.where(over, TOO_MANY_ITERS, OK)
+            ).astype(jnp.int32)
+            n_new = (n + jnp.where(term, 0, 1)).astype(jnp.int32)
+            return (x_new, n_new, code, term, res_buf, alpha_buf)
+
+        state = (x0, jnp.asarray(0, jnp.int32), jnp.asarray(OK, jnp.int32),
+                 jnp.asarray(False), res_buf, alpha_buf)
+        x, n, code, done, res_buf, alpha_buf = jax.lax.while_loop(
+            cond, body, state
+        )
+        rw = ops._weighted_residual(x)
+        return x, n, code, res_buf, alpha_buf, rw
+
+    # Structural check stays on host (pattern-only, one-time).
+    if ops.structural_rank() < ops.n_x:
+        from .solvers import STRUCT_RANK_DEFICIENT
+
+        res = SolveResult(x=np.asarray(x0), code=STRUCT_RANK_DEFICIENT,
+                          iters=0)
+        return res
+
+    x, n, code, res_buf, alpha_buf, rw = run(jnp.asarray(x0))
+    res = SolveResult(
+        x=np.asarray(x),
+        code=int(code),
+        iters=int(n),
+        res_norms=[float(v) for v in np.asarray(res_buf)
+                   if np.isfinite(v)],
+        damping={"name": "gna", "alphas": [
+            float(v) for v in np.asarray(alpha_buf) if np.isfinite(v)
+        ], "mu": mu, "alpha_min": alpha_min},
+        final_rw=np.asarray(rw),
+    )
+    res.trace = [np.asarray(x)]  # endpoint only (memory-light)
+    return res
