@@ -106,6 +106,10 @@ def write_report(project, info, path, damping="gna", conv_tol=1e-6,
     add("         Numerical rank: "
         + ("ok." if wn is None else f"deficiency {wn.get('deficiency')}"))
     problems = []
+    if info.code != 0:
+        problems.append(
+            f"Bundle failed with code {info.code} (see below for details)."
+        )
     if corr_io:
         problems.append(
             "One or more of the camera parameter has a high correlation "

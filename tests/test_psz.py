@@ -24,6 +24,17 @@ def test_sxb_psz_bundle():
     assert iters == 3
 
 
+def test_psz_ray_filtering():
+    """min_rays filtering removes low-ray points before the bundle
+    (loadplotpsz.m:55-80)."""
+    # All tie points have >=3 rays in sxb; min_rays=4 removes the
+    # 3-ray ties (control points are never filtered).
+    result, ok, iters, sigma0, info = ps_postproc(min_rays=4)
+    assert ok
+    assert result.n_op < 1182
+    assert result.is_ctrl.sum() == 16
+
+
 def test_load_psz_structure():
     import os.path as osp
 
