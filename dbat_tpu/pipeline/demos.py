@@ -180,7 +180,8 @@ def prague_sxb(label: str = "s2", orient: bool = False, damping: str = "gna",
 
 def ps_postproc(file_name: str = None, use_semilocal: bool = False,
                 min_rays: int = 0, min_angle: float = 0.0,
-                damping: str = "gna", trace: bool = False, backend="auto"):
+                damping: str = "gna", trace: bool = False, backend="auto",
+                stats_dir: str = None):
     """Re-adjust a PhotoScan/Metashape .psz project
     (ref code/demo/ps_postproc.m).
 
@@ -205,6 +206,13 @@ def ps_postproc(file_name: str = None, use_semilocal: bool = False,
     s = from_pm(prob)
     s.dist_model = -1
 
+    if stats_dir:
+        from ..io.stats import write_stats
+
+        stem = osp.splitext(osp.basename(file_name))[0]
+        write_stats(s, osp.join(stats_dir, f"{stem}-psstats-prefilt.txt"),
+                    "Initial, unfiltered statitistics")
+
     # Ray-count / intersection-angle OP filtering (loadplotpsz.m:55-80).
     if min_rays > 0 or min_angle > 0:
         bad = np.zeros(s.n_op, dtype=bool)
@@ -222,6 +230,16 @@ def ps_postproc(file_name: str = None, use_semilocal: bool = False,
         ]
         s = from_pm(prob)
         s.dist_model = -1
+
+    if stats_dir:
+        from ..io.stats import write_stats
+
+        stem = osp.splitext(osp.basename(file_name))[0]
+        write_stats(
+            s, osp.join(stats_dir, f"{stem}-psstats-postfilt.txt"),
+            f"Filtered statitistics with minRays={min_rays}, "
+            f"minAngle={min_angle:g}",
+        )
 
     # Self-calibration flags per PS project (ps_postproc.m:44-66).
     if psz.camera.is_adjusted:
