@@ -65,8 +65,17 @@ class SchurOps(BundleOps):
                  mesh=None):
         super().__init__(project, spec, dtype=dtype)
         self.n_c = spec.n_io + spec.n_eo
-        self.n_cb = self.cols.shape[1] - 3  # NC + 6
-        self.cam_cols = self.cols[:, : self.n_cb]  # x indices (< n_c) or -1
+        # Active camera-block columns: IO parameters estimated in at
+        # least one image plus all six EO parameters. Fixed-IO networks
+        # then carry 6-wide blocks instead of NC+6 — the pair products
+        # and S scatters shrink by ~7x.
+        NC = project.NC
+        io_active = np.flatnonzero(np.asarray(project.est_io).any(axis=0))
+        self.cam_active = np.concatenate(
+            [io_active, NC + np.arange(6)]
+        ).astype(np.int64)
+        self.n_cb = len(self.cam_active)
+        self.cam_cols = self.cols[:, jnp.asarray(self.cam_active)]
         self.op_xidx = jnp.asarray(spec.op_x, jnp.int32)  # (n_op,3)
         self.op_mask = jnp.asarray(spec.op_x >= 0, dtype)  # est-coordinate mask
         self.n_pt = project.n_op
@@ -116,10 +125,10 @@ class SchurOps(BundleOps):
         self.pair_cp = jnp.asarray(cp_of_pair.reshape(-1, pc), jnp.int32)
 
         # Camera columns per image (identical for every obs of an
-        # image): x indices of [IO cols, EO cols], -1 when fixed.
+        # image): x indices of the active [IO, EO] columns, -1 if fixed.
         img_cols = np.concatenate(
             [np.asarray(spec.io_x), np.asarray(spec.eo_x)], axis=1
-        ).astype(np.int32)
+        ).astype(np.int32)[:, self.cam_active]
         self.img_cols = jnp.asarray(img_cols)
 
         if mesh is not None:
@@ -132,7 +141,8 @@ class SchurOps(BundleOps):
             sh = NamedSharding(mesh, P(None, "obs"))
             self.pair_i1 = jax.device_put(self.pair_i1, sh)
             self.pair_i2 = jax.device_put(self.pair_i2, sh)
-            self.cam_cols = self.cols[:, : self.n_cb]
+            self.pair_cp = jax.device_put(self.pair_cp, sh)
+            self.cam_cols = self.cols[:, jnp.asarray(self.cam_active)]
 
         from .precision import with_highest_precision
 
@@ -163,7 +173,9 @@ class SchurOps(BundleOps):
             io[self.obs_img], eo[self.obs_img], op[self.obs_pt],
             self.ip_px, self.px_obs,
         )
-        A = jnp.concatenate([jio, jeo], axis=2) * self.w_ip[:, :, None]
+        A = jnp.concatenate([jio, jeo], axis=2)[
+            :, :, jnp.asarray(self.cam_active)
+        ] * self.w_ip[:, :, None]
         B = jop * self.w_ip[:, :, None]
         # Mask fixed point coordinates out of B.
         B = B * self.op_mask[self.obs_pt][:, None, :]
