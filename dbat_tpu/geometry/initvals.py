@@ -208,7 +208,8 @@ def resect(project, cams="all", cp_id=None, n_tri=1, min_area_frac=0.0,
         Km = np.array([[-f, 0, ppt[0]], [0, -f, ppt[1]], [0, 0, 1.0]])
         xn = np.linalg.solve(Km, np.vstack([pts2.T, np.ones(len(ids))]))
 
-        is_cp = np.isin(ids, cp_id)
+        valid3 = ~np.isnan(pts3).any(axis=1)
+        is_cp = np.isin(ids, cp_id) & valid3
         cp_pos = pts2[is_cp].T
         if is_cp.sum() < 3:
             fail = True
@@ -226,7 +227,6 @@ def resect(project, cams="all", cp_id=None, n_tri=1, min_area_frac=0.0,
             ]
 
         bestP, bestRes = None, np.inf
-        valid3 = ~np.isnan(pts3).any(axis=1)
         for t in tries:
             use = np.zeros(len(ids), dtype=bool)
             use[t] = True

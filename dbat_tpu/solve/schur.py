@@ -314,8 +314,15 @@ class SchurOps(BundleOps):
         b = Dinv * rc_t
         q = tri_solve(b)
         if f32:
+            # Refinement residuals in f64: the matvec is cheap (one
+            # n_c-vector product per step) and pushes the solve to the
+            # f32-representable optimum even when Ss carries ~1e-4
+            # accumulation error.
+            Ss64 = Ss.astype(jnp.float64)
+            b64 = b.astype(jnp.float64)
             for _ in range(4):
-                q = q + tri_solve(b - Ss @ q)
+                r64 = b64 - Ss64 @ q.astype(jnp.float64)
+                q = q + tri_solve(r64.astype(self.dtype))
         pc = Dinv * q
 
         # rp_tilde = rp - Npc pc ; pp = Vinv rp_tilde
