@@ -50,3 +50,28 @@ def test_riva_selfcal(net, cpt):
     assert sigma0 < 10.0
     # Calibrated focal within 20% of the EXIF/prior value.
     assert abs(result.io[0, 0] / s.prior_io_val[0, 0] - 1) < 0.2
+
+
+def test_riva_net4_3d_target():
+    """Canon 7D on the 3D calibration fixture (surveyed targets with
+    ids 1..66 in ctrlpts-3d-1.txt; all matched points fixed)."""
+    prob = load_pm(osp.join(BASE, "pmexports", "net4-canon7d-3d.txt"))
+    s = from_pm(prob)
+    s.dist_model = 3
+    s.set_cam_vals_default(s.prior_io_val[0, 0])
+    s.set_cam_est("all", "not", "sk")
+    s.set_eo_est("all")
+    s.clear_eo()
+    pts = load_cpt(osp.join(BASE, "ctrlpts-3d-1.txt"))
+    s.is_ctrl = np.isin(s.op_raw_id, pts.id)
+    i, j = s.match_cpt(pts, match="id")
+    s.set_cpt(pts, i, j)
+    s.clear_op()
+    cp_id = s.op_id[s.is_ctrl]
+    rms, fail = resect(s, "all", cp_id, 1, 0, cp_id)
+    assert not fail
+    forward_intersect(s, "all", skip_prior=True)
+    result, ok, iters, sigma0, info = bundle(s)
+    assert ok
+    assert sigma0 < 1.0
+    assert result.io[0, 0] == pytest.approx(20.70, abs=0.1)
