@@ -74,17 +74,28 @@ def main():
     elapsed = time.time() - t0
     iters_per_s = n_timed / elapsed
 
-    rn_f = float(rn)
+    # Convergence sanity gate: after the warmup+timed steps the
+    # weighted residual must be near the noise floor sqrt(dof)
+    # (sigma0 ~ 1 by construction). Guards against silent numerical
+    # breakage inflating the throughput number.
+    rw = ops.weighted_residual(x)
+    rn_final = float(jnp.sqrt(rw @ rw))
+    dof = 2 * ops.n_obs - ops.n_x
+    floor = float(np.sqrt(dof))
+    converged = rn_final < 1.5 * floor
+
     out = {
         "metric": "hamburg_scale_bundle_iters_per_s",
-        "value": round(iters_per_s, 4),
+        "value": round(iters_per_s, 4) if converged else 0.0,
         "unit": "iters/s",
-        "vs_baseline": round(iters_per_s / BASELINE_ITERS_PER_S, 2),
+        "vs_baseline": round(iters_per_s / BASELINE_ITERS_PER_S, 2)
+        if converged else 0.0,
     }
     print(json.dumps(out))
     print(
         f"# setup {gen_time:.1f}s, compile {compile_time:.1f}s, "
-        f"{n_timed} iters in {elapsed:.2f}s, residual norm {rn_f:.4g}, "
+        f"{n_timed} iters in {elapsed:.2f}s, final residual {rn_final:.4g} "
+        f"(noise floor {floor:.0f}, converged={converged}), "
         f"n_x={ops.n_x}, n_obs={ops.n_obs}, device={jax.devices()[0]}",
         file=sys.stderr,
     )
