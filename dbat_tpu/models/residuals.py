@@ -114,11 +114,14 @@ def make_obs_residual_fn(model: int, nK: int, nP: int):
     return jax.vmap(f)
 
 
-def make_obs_jacobian_fn(model: int, nK: int, nP: int):
+def make_obs_jacobian_fn(model: int, nK: int, nP: int, *, with_io: bool = True):
     """Batched residual + per-observation Jacobian blocks.
 
     Returns fn(io, eo, op, u_px, px_size) ->
-        (v (n,2), J_io (n,2,NC), J_eo (n,2,6), J_op (n,2,3)).
+        (v (n,2), J_io (n,2,NC), J_eo (n,2,6), J_op (n,2,3)),
+    or without the J_io entry when with_io=False (fixed-IO networks:
+    skipping the NC dead forward-mode tangents cuts the Jacobian stage
+    ~2.5x).
 
     Forward-mode over the NC+9 parameters of a single observation; this
     replaces the reference's hand-written chain-rule products
@@ -128,9 +131,16 @@ def make_obs_jacobian_fn(model: int, nK: int, nP: int):
     """
     f = partial(residual_obs, model=model, nK=nK, nP=nP)
 
-    def val_and_jac(io, eo, op, u_px, px_size):
-        v = f(io, eo, op, u_px, px_size)
-        jio, jeo, jop = jax.jacfwd(f, argnums=(0, 1, 2))(io, eo, op, u_px, px_size)
-        return v, jio, jeo, jop
+    if with_io:
+        def val_and_jac(io, eo, op, u_px, px_size):
+            v = f(io, eo, op, u_px, px_size)
+            jio, jeo, jop = jax.jacfwd(f, argnums=(0, 1, 2))(
+                io, eo, op, u_px, px_size)
+            return v, jio, jeo, jop
+    else:
+        def val_and_jac(io, eo, op, u_px, px_size):
+            v = f(io, eo, op, u_px, px_size)
+            jeo, jop = jax.jacfwd(f, argnums=(1, 2))(io, eo, op, u_px, px_size)
+            return v, jeo, jop
 
     return jax.vmap(val_and_jac)

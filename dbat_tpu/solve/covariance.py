@@ -60,8 +60,10 @@ class Covariance:
             if self._schur is None:
                 ops = self.ops
                 U, V, Wb, gc, gp, rw = ops._assemble(x)
+                from .smallblas import inv3x3
+
                 eye3 = jnp.eye(3, dtype=ops.dtype)
-                Vinv = jnp.linalg.inv(V)
+                Vinv = inv3x3(V)
                 S = ops._schur_S(U, Vinv, Wb, jnp.asarray(0.0, ops.dtype))
                 # Factor S once.
                 L = jnp.linalg.cholesky(S)

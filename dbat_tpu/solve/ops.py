@@ -108,8 +108,13 @@ class BundleOps:
         # matmuls otherwise run at bf16 — see precision.py).
         from .precision import with_highest_precision
 
-        self.residuals = jax.jit(self._residuals)
-        self.weighted_residual = jax.jit(self._weighted_residual)
+        # The residual entry points also need HIGHEST: euler_pinhole's
+        # rotation apply is a batched matmul, and near convergence the
+        # residual is the tiny difference of O(10mm) projections — one
+        # bf16 MXU pass turns the converged residual into noise.
+        self.residuals = jax.jit(with_highest_precision(self._residuals))
+        self.weighted_residual = jax.jit(
+            with_highest_precision(self._weighted_residual))
         self._normal_jit = jax.jit(with_highest_precision(self._normal))
 
     def _apply_mesh(self, mesh):

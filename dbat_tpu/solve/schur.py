@@ -37,33 +37,40 @@ import numpy as np
 
 from .ops import BundleOps
 from .normal_state import DenseNormalState
+from .smallblas import chol3x3, inv3x3
 
 
 def _build_pairs(obs_pt: np.ndarray):
-    """All ordered observation pairs within each point's observation
-    list. Returns (i1, i2) arrays; total = sum_j k_j^2."""
+    """Strict observation pairs (i1 before i2) within each point's
+    observation list. Returns (i1, i2); total = sum_j k_j(k_j-1)/2.
+
+    Self-pairs (the diagonal Y_i Y_i' terms) are handled separately by
+    a per-image segment reduction; the strict half plus its transpose
+    reconstructs the full fill-in at 2.7x less gather traffic than the
+    ordered k^2 enumeration."""
     order = np.argsort(obs_pt, kind="stable")
     sorted_pt = obs_pt[order]
     starts = np.flatnonzero(np.diff(sorted_pt, prepend=-1))
     counts = np.diff(np.append(starts, len(obs_pt)))
 
-    # Vectorized per-group outer products: element e of a k-group
-    # appears k times as i1; i2 tiles the whole group k times.
-    k2 = counts * counts
-    i1 = np.repeat(order, np.repeat(counts, counts))
-    pair_group = np.repeat(np.arange(len(counts)), k2)
-    group_off = np.repeat(np.cumsum(k2) - k2, k2)
-    within = np.arange(k2.sum()) - group_off
-    i2 = order[starts[pair_group] + within % counts[pair_group]]
-    return i1, i2
+    # Element at within-group offset w pairs with the w earlier ones.
+    pos = np.arange(len(obs_pt))
+    grp = np.repeat(np.arange(len(counts)), counts)
+    w = pos - starts[grp]
+    i2s = np.repeat(pos, w)
+    off = np.arange(int(w.sum())) - np.repeat(np.cumsum(w) - w, w)
+    i1s = starts[grp[i2s]] + off
+    return order[i1s], order[i2s]
 
 
 class SchurOps(BundleOps):
     """BundleOps with a Schur-complement normal backend."""
 
     def __init__(self, project, spec, dtype=jnp.float64, pair_chunk=32768,
-                 mesh=None):
+                 mesh=None, refine_iters: int = 2):
         super().__init__(project, spec, dtype=dtype)
+        #: iterative-refinement steps for the f32 reduced solve
+        self.refine_iters = refine_iters
         self.n_c = spec.n_io + spec.n_eo
         # Active camera-block columns: IO parameters estimated in at
         # least one image plus all six EO parameters. Fixed-IO networks
@@ -75,6 +82,15 @@ class SchurOps(BundleOps):
             [io_active, NC + np.arange(6)]
         ).astype(np.int64)
         self.n_cb = len(self.cam_active)
+        # Fixed-IO networks: a reduced Jacobian fn without the NC dead
+        # IO tangents (roma/stpierre-style bundles, ~2.5x faster).
+        self._has_active_io = len(io_active) > 0
+        if not self._has_active_io:
+            from ..models.residuals import make_obs_jacobian_fn
+
+            self._jac_eo_op_fn = make_obs_jacobian_fn(
+                self.model, self.nK, self.nP, with_io=False
+            )
         self.cam_cols = self.cols[:, jnp.asarray(self.cam_active)]
         self.op_xidx = jnp.asarray(spec.op_x, jnp.int32)  # (n_op,3)
         self.op_mask = jnp.asarray(spec.op_x >= 0, dtype)  # est-coordinate mask
@@ -169,13 +185,20 @@ class SchurOps(BundleOps):
     # ------------------------------------------------------------------
     def _assemble_impl(self, x):
         io, eo, op = self.params_of_x(x)
-        v, jio, jeo, jop = self._jac_fn(
-            io[self.obs_img], eo[self.obs_img], op[self.obs_pt],
-            self.ip_px, self.px_obs,
-        )
-        A = jnp.concatenate([jio, jeo], axis=2)[
-            :, :, jnp.asarray(self.cam_active)
-        ] * self.w_ip[:, :, None]
+        if self._has_active_io:
+            v, jio, jeo, jop = self._jac_fn(
+                io[self.obs_img], eo[self.obs_img], op[self.obs_pt],
+                self.ip_px, self.px_obs,
+            )
+            A = jnp.concatenate([jio, jeo], axis=2)[
+                :, :, jnp.asarray(self.cam_active)
+            ] * self.w_ip[:, :, None]
+        else:
+            v, jeo, jop = self._jac_eo_op_fn(
+                io[self.obs_img], eo[self.obs_img], op[self.obs_pt],
+                self.ip_px, self.px_obs,
+            )
+            A = jeo * self.w_ip[:, :, None]
         B = jop * self.w_ip[:, :, None]
         # Mask fixed point coordinates out of B.
         B = B * self.op_mask[self.obs_pt][:, None, :]
@@ -239,44 +262,58 @@ class SchurOps(BundleOps):
     def _schur_S(self, U, Vinv, Wb, lam):
         """S = U + lam I - sum_pairs W_i1 Vinv_j W_i2'.
 
-        Factor Vinv_j = L_j L_j' once per point, form Y_i = W_i L_j per
-        observation, segment-sum pair outer products Y_i1 Y_i2' into a
-        per-camera-pair block buffer (scan over fixed-size chunks), and
-        scatter the aggregated blocks into S once."""
+        Factor Vinv_j = L_j L_j' once per point (closed-form 3x3
+        Cholesky) and form Y_i = W_i L_j per observation. The diagonal
+        terms Y_i Y_i' aggregate per image like U; the off-diagonal
+        fill-in runs over strict pairs only (i1 before i2), segment-
+        summed into per-camera-pair blocks (scan over fixed-size
+        chunks) and scattered into S twice — the block and its
+        transpose — reconstructing the full symmetric fill-in at ~2.7x
+        less pair-gather traffic."""
         nc = self.n_c
-        Lv = jnp.linalg.cholesky(Vinv)
+        n_img = self.base_eo.shape[0]
+        Lv = chol3x3(Vinv)
         Y = jnp.einsum("nab,nbc->nac", Wb, Lv[self.obs_pt])
-        Y_pad = jnp.concatenate(
-            [Y, jnp.zeros((1, self.n_cb, 3), self.dtype)], axis=0
-        )
-
-        acc0 = jnp.zeros((self.n_campair + 1, self.n_cb, self.n_cb),
-                         self.dtype)
-
-        def body(acc, chunk):
-            i1, i2, cp = chunk
-            contrib = jnp.einsum("pac,pbc->pab", Y_pad[i1], Y_pad[i2])
-            return acc.at[cp].add(contrib), None
-
-        acc, _ = jax.lax.scan(
-            body, acc0, (self.pair_i1, self.pair_i2, self.pair_cp)
-        )
-        acc = acc[: self.n_campair]
 
         S = jnp.zeros((nc + 1, nc + 1), self.dtype)
         S = S.at[:nc, :nc].set(U + lam * jnp.eye(nc, dtype=self.dtype))
-        c1 = self.img_cols[self.campair_img1]
-        c2 = self.img_cols[self.campair_img2]
-        c1 = jnp.where(c1 >= 0, c1, nc)
-        c2 = jnp.where(c2 >= 0, c2, nc)
-        S = S.at[c1[:, :, None], c2[:, None, :]].add(-acc)
+        icols = jnp.where(self.img_cols >= 0, self.img_cols, nc)
+
+        # Diagonal (self-pair) blocks, aggregated per image.
+        Dblk = jnp.einsum("nac,nbc->nab", Y, Y)
+        Dimg = jax.ops.segment_sum(Dblk, self.obs_img, num_segments=n_img)
+        S = S.at[icols[:, :, None], icols[:, None, :]].add(-Dimg)
+
+        if self.n_pairs:
+            Y_pad = jnp.concatenate(
+                [Y, jnp.zeros((1, self.n_cb, 3), self.dtype)], axis=0
+            )
+            acc0 = jnp.zeros((self.n_campair + 1, self.n_cb, self.n_cb),
+                             self.dtype)
+
+            def body(acc, chunk):
+                i1, i2, cp = chunk
+                contrib = jnp.einsum("pac,pbc->pab", Y_pad[i1], Y_pad[i2])
+                return acc.at[cp].add(contrib), None
+
+            acc, _ = jax.lax.scan(
+                body, acc0, (self.pair_i1, self.pair_i2, self.pair_cp)
+            )
+            acc = acc[: self.n_campair]
+
+            c1 = icols[self.campair_img1]
+            c2 = icols[self.campair_img2]
+            S = S.at[c1[:, :, None], c2[:, None, :]].add(-acc)
+            S = S.at[c2[:, :, None], c1[:, None, :]].add(
+                -jnp.swapaxes(acc, 1, 2)
+            )
         return S[:nc, :nc]
 
     def _solve_impl(self, U, V, Wb, rhs, lam):
         nc = self.n_c
         rc, rp = self.split_x(rhs)
         eyel = lam * jnp.eye(3, dtype=self.dtype) * self.op_mask[:, :, None]
-        Vinv = jnp.linalg.inv(V + eyel)
+        Vinv = inv3x3(V + eyel)
 
         S = self._schur_S(U, Vinv, Wb, lam)
 
@@ -314,15 +351,16 @@ class SchurOps(BundleOps):
         b = Dinv * rc_t
         q = tri_solve(b)
         if f32:
-            # Refinement residuals in f64: the matvec is cheap (one
-            # n_c-vector product per step) and pushes the solve to the
-            # f32-representable optimum even when Ss carries ~1e-4
-            # accumulation error.
-            Ss64 = Ss.astype(jnp.float64)
-            b64 = b.astype(jnp.float64)
-            for _ in range(4):
-                r64 = b64 - Ss64 @ q.astype(jnp.float64)
-                q = q + tri_solve(r64.astype(self.dtype))
+            # Refinement residuals against the unjittered Ss in f32 at
+            # HIGHEST matmul precision: after the first solve the
+            # residual is ~eps_jitter * ||b|| and each step gains ~3
+            # decades until the f32 matvec floor — which already sits
+            # below the ~1e-4 assembly error in Ss itself, so f64
+            # residuals (software-emulated on TPU, ~35ms/step) buy
+            # nothing.
+            for _ in range(self.refine_iters):
+                r = b - Ss @ q
+                q = q + tri_solve(r)
         pc = Dinv * q
 
         # rp_tilde = rp - Npc pc ; pp = Vinv rp_tilde
