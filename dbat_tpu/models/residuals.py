@@ -137,6 +137,15 @@ def make_obs_jacobian_fn(model: int, nK: int, nP: int, *, with_io: bool = True):
             jio, jeo, jop = jax.jacfwd(f, argnums=(0, 1, 2))(
                 io, eo, op, u_px, px_size)
             return v, jio, jeo, jop
+    elif model in (1, 2, 3, 4, 5):
+        # Backward models: v = euler_pinhole(op, C, ang, -cc) - rhs(io, u)
+        # where rhs is independent of eo/op, so J_eo/J_op are the
+        # closed-form projection Jacobian — ~3x cheaper than pushing
+        # 9 forward-mode tangents through the full residual chain.
+        def val_and_jac(io, eo, op, u_px, px_size):
+            v = f(io, eo, op, u_px, px_size)
+            jeo, jop = projection_jacobian(op, eo[:3], eo[3:6], -io[0])
+            return v, jeo, jop
     else:
         def val_and_jac(io, eo, op, u_px, px_size):
             v = f(io, eo, op, u_px, px_size)
@@ -144,3 +153,45 @@ def make_obs_jacobian_fn(model: int, nK: int, nP: int, *, with_io: bool = True):
             return v, jeo, jop
 
     return jax.vmap(val_and_jac)
+
+
+def projection_jacobian(X, C, ang, focal):
+    """Closed-form Jacobian of euler_pinhole(X, C, ang, f) wrt (eo, op).
+
+    Returns (J_eo (2,6), J_op (2,3)) for the omega-phi-kappa chain
+    M = (R1 R2 R3)^T, q = M (X - C), proj = f q_xy / q_z
+    (ref eulerpinhole2.m / eulerrotmat.m Lucas-1963 derivative
+    products, re-derived — not transcribed — for this composition):
+
+        J_q   = f/q3 [[1, 0, -q1/q3], [0, 1, -q2/q3]]
+        J_op  = J_q M;   J_C = -J_op
+        J_ang = J_q [dM/dom t, dM/dph t, dM/dka t],  t = X - C
+
+    with dM/d* = (dR1 R2 R3)^T etc.
+    """
+    from .rotation import r1, r2, r3, dr1, dr2, dr3
+
+    om, ph, ka = ang[0], ang[1], ang[2]
+    R1, R2, R3 = r1(om), r2(ph), r3(ka)
+    t = X - C
+    # M = R3' R2' R1'
+    R1t_t = R1.T @ t
+    R2R1t_t = R2.T @ R1t_t
+    q = R3.T @ R2R1t_t
+    M = R3.T @ (R2.T @ R1.T)
+
+    dq_om = R3.T @ (R2.T @ (dr1(om).T @ t))
+    dq_ph = R3.T @ (dr2(ph).T @ R1t_t)
+    dq_ka = dr3(ka).T @ R2R1t_t
+
+    w = focal / q[2]
+    # J_q rows applied to a 3-vector d: w * (d_xy - q_xy/q3 * d_z)
+    qxy = q[:2] / q[2]
+
+    def jq(d):
+        return w * (d[:2] - qxy * d[2])
+
+    J_op = w * (M[:2] - qxy[:, None] * M[2])  # (2,3)
+    J_ang = jnp.stack([jq(dq_om), jq(dq_ph), jq(dq_ka)], axis=1)  # (2,3)
+    J_eo = jnp.concatenate([-J_op, J_ang], axis=1)  # (2,6)
+    return J_eo, J_op

@@ -48,6 +48,33 @@ def r3(a):
     )
 
 
+def dr1(a):
+    """d r1 / d a."""
+    c, s = jnp.cos(a), jnp.sin(a)
+    z = jnp.zeros_like(a)
+    return jnp.stack(
+        [jnp.stack([z, z, z]), jnp.stack([z, -s, -c]), jnp.stack([z, c, -s])]
+    )
+
+
+def dr2(a):
+    """d r2 / d a."""
+    c, s = jnp.cos(a), jnp.sin(a)
+    z = jnp.zeros_like(a)
+    return jnp.stack(
+        [jnp.stack([-s, z, c]), jnp.stack([z, z, z]), jnp.stack([-c, z, -s])]
+    )
+
+
+def dr3(a):
+    """d r3 / d a."""
+    c, s = jnp.cos(a), jnp.sin(a)
+    z = jnp.zeros_like(a)
+    return jnp.stack(
+        [jnp.stack([-s, -c, z]), jnp.stack([c, -s, z]), jnp.stack([z, z, z])]
+    )
+
+
 _ELEM = {1: r1, 2: r2, 3: r3}
 
 

@@ -129,16 +129,31 @@ class SchurOps(BundleOps):
         self.campair_img1 = jnp.asarray(ukey // project.n_img, jnp.int32)
         self.campair_img2 = jnp.asarray(ukey % project.n_img, jnp.int32)
 
-        pc = pair_chunk
-        pad = (-len(i1)) % pc
-        # Padding pairs point at a scratch observation (index n_obs)
-        # and the dump camera-pair row (index n_campair).
-        i1 = np.concatenate([i1, np.full(pad, self.n_obs)])
-        i2 = np.concatenate([i2, np.full(pad, self.n_obs)])
-        cp_of_pair = np.concatenate([cp_of_pair, np.full(pad, self.n_campair)])
-        self.pair_i1 = jnp.asarray(i1.reshape(-1, pc), jnp.int32)
-        self.pair_i2 = jnp.asarray(i2.reshape(-1, pc), jnp.int32)
-        self.pair_cp = jnp.asarray(cp_of_pair.reshape(-1, pc), jnp.int32)
+        if mesh is None:
+            # Single-device fast path: ray-count-bucketed dense pair
+            # products. Random per-pair row gathers are the S fill-in
+            # bottleneck on TPU (72-byte rows, ~6 GB/s effective); a
+            # per-point gather of each point's observation list plus
+            # dense slot products needs 1 gather per *observation*
+            # instead of 2 per *pair*.
+            self.pair_buckets = self._build_pair_buckets(project, ukey)
+        else:
+            self.pair_buckets = None
+            pc = pair_chunk
+            pad = (-len(i1)) % pc
+            # Padding pairs point at a scratch observation (index
+            # n_obs) and the dump camera-pair row (index n_campair).
+            i1 = np.concatenate([i1, np.full(pad, self.n_obs)])
+            i2 = np.concatenate([i2, np.full(pad, self.n_obs)])
+            cp_of_pair = np.concatenate(
+                [cp_of_pair, np.full(pad, self.n_campair)])
+            self.pair_i1 = jnp.asarray(i1.reshape(-1, pc), jnp.int32)
+            self.pair_i2 = jnp.asarray(i2.reshape(-1, pc), jnp.int32)
+            self.pair_cp = jnp.asarray(cp_of_pair.reshape(-1, pc), jnp.int32)
+
+        self._pt_sorted = bool(np.all(np.diff(np.asarray(project.obs_pt)) >= 0))
+        self._img_sorted = bool(
+            np.all(np.diff(np.asarray(project.obs_img)) >= 0))
 
         # Camera columns per image (identical for every obs of an
         # image): x indices of the active [IO, EO] columns, -1 if fixed.
@@ -165,6 +180,57 @@ class SchurOps(BundleOps):
         self._assemble = jax.jit(with_highest_precision(self._assemble_impl))
         self._solve_jit = jax.jit(with_highest_precision(self._solve_impl))
         self._matvec_jit = jax.jit(with_highest_precision(self._matvec_impl))
+
+    # ------------------------------------------------------------------
+    def _build_pair_buckets(self, project, ukey):
+        """Static per-ray-count-bucket index arrays for the S fill-in.
+
+        Points are grouped by ray count padded up to a small set of
+        bucket sizes; for each bucket we store (obs-index matrix
+        (n_r, r), slot index arrays a_s/b_s with a<b, camera-pair id
+        matrix (n_r, S)). Padded entries point at the zero scratch
+        observation (index n_obs) and the dump camera-pair row."""
+        obs_pt_np = np.asarray(project.obs_pt)
+        obs_img_np = np.asarray(project.obs_img, dtype=np.int64)
+        order = np.argsort(obs_pt_np, kind="stable")
+        sorted_pt = obs_pt_np[order]
+        starts = np.flatnonzero(np.diff(sorted_pt, prepend=-1))
+        counts = np.diff(np.append(starts, len(obs_pt_np)))
+
+        sizes = [2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128]
+        cmax = int(counts.max(initial=0))
+        while sizes[-1] < cmax:
+            sizes.append(sizes[-1] * 2)
+
+        buckets = []
+        for si, r in enumerate(sizes):
+            lo = 2 if si == 0 else sizes[si - 1] + 1
+            sel = np.flatnonzero((counts >= lo) & (counts <= r))
+            if not len(sel):
+                continue
+            n_r = len(sel)
+            idx = np.full((n_r, r), self.n_obs, dtype=np.int64)
+            for row, g in enumerate(sel):
+                idx[row, : counts[g]] = order[starts[g]: starts[g] + counts[g]]
+            a_s, b_s = np.triu_indices(r, k=1)
+            i1 = idx[:, a_s]
+            i2 = idx[:, b_s]
+            valid = (i1 < self.n_obs) & (i2 < self.n_obs)
+            key = np.where(
+                valid,
+                obs_img_np[np.minimum(i1, self.n_obs - 1)] * project.n_img
+                + obs_img_np[np.minimum(i2, self.n_obs - 1)],
+                -1,
+            )
+            cp = np.full(key.shape, self.n_campair, dtype=np.int64)
+            cp[valid] = np.searchsorted(ukey, key[valid])
+            buckets.append((
+                jnp.asarray(idx, jnp.int32),
+                jnp.asarray(a_s, jnp.int32),
+                jnp.asarray(b_s, jnp.int32),
+                jnp.asarray(cp, jnp.int32),
+            ))
+        return buckets
 
     # ------------------------------------------------------------------
     # x layout <-> (camera, padded point) split
@@ -210,14 +276,16 @@ class SchurOps(BundleOps):
         # U: camera-camera block — aggregate per image first (all obs
         # of an image share columns), then scatter 1 block per image.
         Ublk = jnp.einsum("nka,nkb->nab", A, A)
-        Uimg = jax.ops.segment_sum(Ublk, self.obs_img, num_segments=n_img)
+        Uimg = jax.ops.segment_sum(Ublk, self.obs_img, num_segments=n_img,
+                                   indices_are_sorted=self._img_sorted)
         icols = jnp.where(self.img_cols >= 0, self.img_cols, nc)
         U = jnp.zeros((nc + 1, nc + 1), self.dtype)
         U = U.at[icols[:, :, None], icols[:, None, :]].add(Uimg)
 
         # V: per-point 3x3 blocks.
         Vblk = jnp.einsum("nka,nkb->nab", B, B)
-        V = jax.ops.segment_sum(Vblk, self.obs_pt, num_segments=self.n_pt)
+        V = jax.ops.segment_sum(Vblk, self.obs_pt, num_segments=self.n_pt,
+                                indices_are_sorted=self._pt_sorted)
 
         # W: per-observation camera-point cross blocks.
         Wb = jnp.einsum("nka,nkb->nab", A, B)  # (n_obs, n_cb, 3)
@@ -225,12 +293,13 @@ class SchurOps(BundleOps):
         # gradients
         gimg = jax.ops.segment_sum(
             jnp.einsum("nka,nk->na", A, vw), self.obs_img,
-            num_segments=n_img,
+            num_segments=n_img, indices_are_sorted=self._img_sorted,
         )
         gc = jnp.zeros(nc + 1, self.dtype)
         gc = gc.at[icols].add(gimg)
         gp = jax.ops.segment_sum(
-            jnp.einsum("nka,nk->na", B, vw), self.obs_pt, num_segments=self.n_pt
+            jnp.einsum("nka,nk->na", B, vw), self.obs_pt,
+            num_segments=self.n_pt, indices_are_sorted=self._pt_sorted,
         )
 
         # Priors.
@@ -281,24 +350,43 @@ class SchurOps(BundleOps):
 
         # Diagonal (self-pair) blocks, aggregated per image.
         Dblk = jnp.einsum("nac,nbc->nab", Y, Y)
-        Dimg = jax.ops.segment_sum(Dblk, self.obs_img, num_segments=n_img)
+        Dimg = jax.ops.segment_sum(Dblk, self.obs_img, num_segments=n_img,
+                                   indices_are_sorted=self._img_sorted)
         S = S.at[icols[:, :, None], icols[:, None, :]].add(-Dimg)
 
         if self.n_pairs:
             Y_pad = jnp.concatenate(
                 [Y, jnp.zeros((1, self.n_cb, 3), self.dtype)], axis=0
             )
-            acc0 = jnp.zeros((self.n_campair + 1, self.n_cb, self.n_cb),
-                             self.dtype)
+            if self.pair_buckets is not None:
+                # Dense bucketed products: one row gather per
+                # observation; slot products are dense batched
+                # (n_cb,3)x(3,n_cb) matmuls; single segment reduction.
+                contribs, cps = [], []
+                for idx, a_s, b_s, cp in self.pair_buckets:
+                    Yg = Y_pad[idx]  # (n_r, r, n_cb, 3)
+                    c = jnp.einsum(
+                        "jsac,jsbc->jsab", Yg[:, a_s], Yg[:, b_s]
+                    )
+                    contribs.append(c.reshape(-1, self.n_cb, self.n_cb))
+                    cps.append(cp.reshape(-1))
+                acc = jax.ops.segment_sum(
+                    jnp.concatenate(contribs), jnp.concatenate(cps),
+                    num_segments=self.n_campair + 1,
+                )
+            else:
+                acc0 = jnp.zeros(
+                    (self.n_campair + 1, self.n_cb, self.n_cb), self.dtype)
 
-            def body(acc, chunk):
-                i1, i2, cp = chunk
-                contrib = jnp.einsum("pac,pbc->pab", Y_pad[i1], Y_pad[i2])
-                return acc.at[cp].add(contrib), None
+                def body(acc, chunk):
+                    i1, i2, cp = chunk
+                    contrib = jnp.einsum(
+                        "pac,pbc->pab", Y_pad[i1], Y_pad[i2])
+                    return acc.at[cp].add(contrib), None
 
-            acc, _ = jax.lax.scan(
-                body, acc0, (self.pair_i1, self.pair_i2, self.pair_cp)
-            )
+                acc, _ = jax.lax.scan(
+                    body, acc0, (self.pair_i1, self.pair_i2, self.pair_cp)
+                )
             acc = acc[: self.n_campair]
 
             c1 = icols[self.campair_img1]
@@ -321,7 +409,8 @@ class SchurOps(BundleOps):
         n_img = self.base_eo.shape[0]
         t = jnp.einsum("nab,nb->na", Vinv[self.obs_pt], rp[self.obs_pt])
         contrib = jnp.einsum("nab,nb->na", Wb, t)  # (n_obs, n_cb)
-        cimg = jax.ops.segment_sum(contrib, self.obs_img, num_segments=n_img)
+        cimg = jax.ops.segment_sum(contrib, self.obs_img, num_segments=n_img,
+                                   indices_are_sorted=self._img_sorted)
         icols = jnp.where(self.img_cols >= 0, self.img_cols, nc)
         rc_t = jnp.zeros(nc + 1, self.dtype).at[icols].add(-cimg)[:nc] + rc
 
@@ -367,7 +456,8 @@ class SchurOps(BundleOps):
         pc_pad = jnp.concatenate([pc, jnp.zeros(1, self.dtype)])
         pcg = pc_pad[icols][self.obs_img]  # (n_obs, n_cb)
         down = jnp.einsum("nab,na->nb", Wb, pcg)  # (n_obs, 3)
-        rp_t = rp - jax.ops.segment_sum(down, self.obs_pt, num_segments=self.n_pt)
+        rp_t = rp - jax.ops.segment_sum(down, self.obs_pt, num_segments=self.n_pt,
+                                        indices_are_sorted=self._pt_sorted)
         pp = jnp.einsum("nab,nb->na", Vinv, rp_t) * self.op_mask
 
         return self.join_x(pc, pp), L

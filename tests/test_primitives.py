@@ -172,3 +172,36 @@ class TestResiduals:
         assert jio.shape == (n, 2, 10)
         assert jeo.shape == (n, 2, 6)
         assert jop.shape == (n, 2, 3)
+
+
+class TestClosedFormProjectionJacobian:
+    """Closed-form J_eo/J_op (fixed-IO fast path) vs forward-mode AD."""
+
+    @pytest.mark.parametrize("model", [1, 2, 3, 4, 5])
+    def test_matches_jacfwd(self, rng, model):
+        nK, nP = 3, 2
+        n = 23
+        io = np.tile(
+            np.concatenate(
+                [[7.3, 3.6, -2.7, 1e-3, -2e-3],
+                 [-2e-3, 3e-5, -1e-6, 2e-5, -1e-5]]
+            ),
+            (n, 1),
+        )
+        eo = np.concatenate(
+            [rng.uniform(0, 2, (n, 3)), rng.uniform(-0.5, 0.5, (n, 3))],
+            axis=1,
+        )
+        op = eo[:, :3] + rng.uniform(-0.3, 0.3, (n, 3)) + np.array(
+            [0.1, 0.2, 2.0]
+        )
+        u = rng.uniform(100, 2000, (n, 2))
+        px = np.full(n, 0.0032)
+
+        fast = res.make_obs_jacobian_fn(model, nK, nP, with_io=False)
+        full = res.make_obs_jacobian_fn(model, nK, nP, with_io=True)
+        v1, jeo1, jop1 = fast(io, eo, op, u, px)
+        v2, _jio, jeo2, jop2 = full(io, eo, op, u, px)
+        np.testing.assert_allclose(v1, v2, rtol=0, atol=1e-12)
+        np.testing.assert_allclose(jeo1, jeo2, rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(jop1, jop2, rtol=1e-10, atol=1e-12)
