@@ -137,6 +137,15 @@ class SchurOps(BundleOps):
             # dense slot products needs 1 gather per *observation*
             # instead of 2 per *pair*.
             self.pair_buckets = self._build_pair_buckets(project, ukey)
+            if self.pair_buckets:
+                from .segsum import SegSum
+
+                cp_all = np.concatenate([
+                    np.asarray(b[3]).reshape(-1) for b in self.pair_buckets
+                ])
+                self._seg_campair = SegSum(cp_all, self.n_campair + 1)
+            else:
+                self._seg_campair = None
         else:
             self.pair_buckets = None
             pc = pair_chunk
@@ -154,6 +163,17 @@ class SchurOps(BundleOps):
         self._pt_sorted = bool(np.all(np.diff(np.asarray(project.obs_pt)) >= 0))
         self._img_sorted = bool(
             np.all(np.diff(np.asarray(project.obs_img)) >= 0))
+
+        # Static segment-reduction plans (single-device only: their
+        # global gathers would defeat GSPMD partitioning on a mesh).
+        if mesh is None:
+            from .segsum import SegSum
+
+            self._seg_pt = SegSum(np.asarray(project.obs_pt), self.n_pt)
+            self._seg_img = SegSum(np.asarray(project.obs_img),
+                                   project.n_img)
+        else:
+            self._seg_pt = self._seg_img = None
 
         # Camera columns per image (identical for every obs of an
         # image): x indices of the active [IO, EO] columns, -1 if fixed.
@@ -232,6 +252,22 @@ class SchurOps(BundleOps):
             ))
         return buckets
 
+
+    # ------------------------------------------------------------------
+    def _sum_by_pt(self, data):
+        if self._seg_pt is not None:
+            return self._seg_pt(data)
+        return jax.ops.segment_sum(data, self.obs_pt,
+                                   num_segments=self.n_pt,
+                                   indices_are_sorted=self._pt_sorted)
+
+    def _sum_by_img(self, data):
+        if self._seg_img is not None:
+            return self._seg_img(data)
+        return jax.ops.segment_sum(data, self.obs_img,
+                                   num_segments=self.base_eo.shape[0],
+                                   indices_are_sorted=self._img_sorted)
+
     # ------------------------------------------------------------------
     # x layout <-> (camera, padded point) split
     # ------------------------------------------------------------------
@@ -276,31 +312,23 @@ class SchurOps(BundleOps):
         # U: camera-camera block — aggregate per image first (all obs
         # of an image share columns), then scatter 1 block per image.
         Ublk = jnp.einsum("nka,nkb->nab", A, A)
-        Uimg = jax.ops.segment_sum(Ublk, self.obs_img, num_segments=n_img,
-                                   indices_are_sorted=self._img_sorted)
+        Uimg = self._sum_by_img(Ublk)
         icols = jnp.where(self.img_cols >= 0, self.img_cols, nc)
         U = jnp.zeros((nc + 1, nc + 1), self.dtype)
         U = U.at[icols[:, :, None], icols[:, None, :]].add(Uimg)
 
         # V: per-point 3x3 blocks.
         Vblk = jnp.einsum("nka,nkb->nab", B, B)
-        V = jax.ops.segment_sum(Vblk, self.obs_pt, num_segments=self.n_pt,
-                                indices_are_sorted=self._pt_sorted)
+        V = self._sum_by_pt(Vblk)
 
         # W: per-observation camera-point cross blocks.
         Wb = jnp.einsum("nka,nkb->nab", A, B)  # (n_obs, n_cb, 3)
 
         # gradients
-        gimg = jax.ops.segment_sum(
-            jnp.einsum("nka,nk->na", A, vw), self.obs_img,
-            num_segments=n_img, indices_are_sorted=self._img_sorted,
-        )
+        gimg = self._sum_by_img(jnp.einsum("nka,nk->na", A, vw))
         gc = jnp.zeros(nc + 1, self.dtype)
         gc = gc.at[icols].add(gimg)
-        gp = jax.ops.segment_sum(
-            jnp.einsum("nka,nk->na", B, vw), self.obs_pt,
-            num_segments=self.n_pt, indices_are_sorted=self._pt_sorted,
-        )
+        gp = self._sum_by_pt(jnp.einsum("nka,nk->na", B, vw))
 
         # Priors.
         r_pr = (x[self.prior_x] - self.prior_val) * self.prior_w
@@ -350,8 +378,7 @@ class SchurOps(BundleOps):
 
         # Diagonal (self-pair) blocks, aggregated per image.
         Dblk = jnp.einsum("nac,nbc->nab", Y, Y)
-        Dimg = jax.ops.segment_sum(Dblk, self.obs_img, num_segments=n_img,
-                                   indices_are_sorted=self._img_sorted)
+        Dimg = self._sum_by_img(Dblk)
         S = S.at[icols[:, :, None], icols[:, None, :]].add(-Dimg)
 
         if self.n_pairs:
@@ -362,18 +389,14 @@ class SchurOps(BundleOps):
                 # Dense bucketed products: one row gather per
                 # observation; slot products are dense batched
                 # (n_cb,3)x(3,n_cb) matmuls; single segment reduction.
-                contribs, cps = [], []
-                for idx, a_s, b_s, cp in self.pair_buckets:
+                contribs = []
+                for idx, a_s, b_s, _cp in self.pair_buckets:
                     Yg = Y_pad[idx]  # (n_r, r, n_cb, 3)
                     c = jnp.einsum(
                         "jsac,jsbc->jsab", Yg[:, a_s], Yg[:, b_s]
                     )
                     contribs.append(c.reshape(-1, self.n_cb, self.n_cb))
-                    cps.append(cp.reshape(-1))
-                acc = jax.ops.segment_sum(
-                    jnp.concatenate(contribs), jnp.concatenate(cps),
-                    num_segments=self.n_campair + 1,
-                )
+                acc = self._seg_campair(jnp.concatenate(contribs))
             else:
                 acc0 = jnp.zeros(
                     (self.n_campair + 1, self.n_cb, self.n_cb), self.dtype)
@@ -409,8 +432,7 @@ class SchurOps(BundleOps):
         n_img = self.base_eo.shape[0]
         t = jnp.einsum("nab,nb->na", Vinv[self.obs_pt], rp[self.obs_pt])
         contrib = jnp.einsum("nab,nb->na", Wb, t)  # (n_obs, n_cb)
-        cimg = jax.ops.segment_sum(contrib, self.obs_img, num_segments=n_img,
-                                   indices_are_sorted=self._img_sorted)
+        cimg = self._sum_by_img(contrib)
         icols = jnp.where(self.img_cols >= 0, self.img_cols, nc)
         rc_t = jnp.zeros(nc + 1, self.dtype).at[icols].add(-cimg)[:nc] + rc
 
@@ -456,8 +478,7 @@ class SchurOps(BundleOps):
         pc_pad = jnp.concatenate([pc, jnp.zeros(1, self.dtype)])
         pcg = pc_pad[icols][self.obs_img]  # (n_obs, n_cb)
         down = jnp.einsum("nab,na->nb", Wb, pcg)  # (n_obs, 3)
-        rp_t = rp - jax.ops.segment_sum(down, self.obs_pt, num_segments=self.n_pt,
-                                        indices_are_sorted=self._pt_sorted)
+        rp_t = rp - self._sum_by_pt(down)
         pp = jnp.einsum("nab,nb->na", Vinv, rp_t) * self.op_mask
 
         return self.join_x(pc, pp), L
@@ -472,14 +493,11 @@ class SchurOps(BundleOps):
 
         yc = U @ pc
         up = jnp.einsum("nab,nb->na", Wb, P[self.obs_pt])  # (n_obs,n_cb)
-        uimg = jax.ops.segment_sum(up, self.obs_img, num_segments=n_img)
+        uimg = self._sum_by_img(up)
         yc = (jnp.zeros(nc + 1, self.dtype).at[icols].add(uimg))[:nc] + yc
 
         yp = jnp.einsum("jab,jb->ja", V, P)
-        yp = yp + jax.ops.segment_sum(
-            jnp.einsum("nab,na->nb", Wb, pcg), self.obs_pt,
-            num_segments=self.n_pt,
-        )
+        yp = yp + self._sum_by_pt(jnp.einsum("nab,na->nb", Wb, pcg))
         yp = yp * self.op_mask
         return self.join_x(yc, yp)
 
