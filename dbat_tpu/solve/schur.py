@@ -420,6 +420,42 @@ class SchurOps(BundleOps):
             )
         return S[:nc, :nc]
 
+    def _reduce_rhs(self, Vinv, Wb, rc, rp):
+        """rc_tilde = rc - sum_i W_i (Vinv rp)_pt(i), per-image sums."""
+        nc = self.n_c
+        t = jnp.einsum("nab,nb->na", Vinv[self.obs_pt], rp[self.obs_pt])
+        contrib = jnp.einsum("nab,nb->na", Wb, t)  # (n_obs, n_cb)
+        cimg = self._sum_by_img(contrib)
+        icols = jnp.where(self.img_cols >= 0, self.img_cols, nc)
+        return jnp.zeros(nc + 1, self.dtype).at[icols].add(-cimg)[:nc] + rc
+
+    def _backsub(self, Vinv, Wb, rp, pc):
+        """pp = Vinv (rp - W' pc): batched 3x3 point back-substitution."""
+        nc = self.n_c
+        icols = jnp.where(self.img_cols >= 0, self.img_cols, nc)
+        pc_pad = jnp.concatenate([pc, jnp.zeros(1, self.dtype)])
+        pcg = pc_pad[icols][self.obs_img]  # (n_obs, n_cb)
+        down = jnp.einsum("nab,na->nb", Wb, pcg)  # (n_obs, 3)
+        rp_t = rp - self._sum_by_pt(down)
+        return jnp.einsum("nab,nb->na", Vinv, rp_t) * self.op_mask
+
+    def _solve_pcg_impl(self, U, V, Wb, rhs, lam, tol=1e-10, maxiter=500):
+        """Matrix-free PCG camera solve + point back-substitution.
+
+        Never materializes S — the multi-host-scale path (see pcg.py);
+        the matvec and reductions are the same sharded primitives as
+        assembly. Returns (p, (iterations, rel_residual))."""
+        from .pcg import pcg_solve
+
+        rc, rp = self.split_x(rhs)
+        eyel = lam * jnp.eye(3, dtype=self.dtype) * self.op_mask[:, :, None]
+        Vinv = inv3x3(V + eyel)
+        rc_t = self._reduce_rhs(Vinv, Wb, rc, rp)
+        pc, iters, rel = pcg_solve(self, U, Vinv, Wb, rc_t, lam,
+                                   tol=tol, maxiter=maxiter)
+        pp = self._backsub(Vinv, Wb, rp, pc)
+        return self.join_x(pc, pp), (iters, rel)
+
     def _solve_impl(self, U, V, Wb, rhs, lam):
         nc = self.n_c
         rc, rp = self.split_x(rhs)
@@ -427,14 +463,7 @@ class SchurOps(BundleOps):
         Vinv = inv3x3(V + eyel)
 
         S = self._schur_S(U, Vinv, Wb, lam)
-
-        # rc_tilde = rc - sum_i W_i (Vinv rp)_pt(i), aggregated per image.
-        n_img = self.base_eo.shape[0]
-        t = jnp.einsum("nab,nb->na", Vinv[self.obs_pt], rp[self.obs_pt])
-        contrib = jnp.einsum("nab,nb->na", Wb, t)  # (n_obs, n_cb)
-        cimg = self._sum_by_img(contrib)
-        icols = jnp.where(self.img_cols >= 0, self.img_cols, nc)
-        rc_t = jnp.zeros(nc + 1, self.dtype).at[icols].add(-cimg)[:nc] + rc
+        rc_t = self._reduce_rhs(Vinv, Wb, rc, rp)
 
         # Jacobi-scaled Cholesky on S.  In f32 the bundle camera system
         # can exceed the f32 condition limit, so we regularize the
@@ -473,14 +502,7 @@ class SchurOps(BundleOps):
                 r = b - Ss @ q
                 q = q + tri_solve(r)
         pc = Dinv * q
-
-        # rp_tilde = rp - Npc pc ; pp = Vinv rp_tilde
-        pc_pad = jnp.concatenate([pc, jnp.zeros(1, self.dtype)])
-        pcg = pc_pad[icols][self.obs_img]  # (n_obs, n_cb)
-        down = jnp.einsum("nab,na->nb", Wb, pcg)  # (n_obs, 3)
-        rp_t = rp - self._sum_by_pt(down)
-        pp = jnp.einsum("nab,nb->na", Vinv, rp_t) * self.op_mask
-
+        pp = self._backsub(Vinv, Wb, rp, pc)
         return self.join_x(pc, pp), L
 
     def _matvec_impl(self, U, V, Wb, p):
