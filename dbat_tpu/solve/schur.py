@@ -129,25 +129,72 @@ class SchurOps(BundleOps):
         self.campair_img1 = jnp.asarray(ukey // project.n_img, jnp.int32)
         self.campair_img2 = jnp.asarray(ukey % project.n_img, jnp.int32)
 
-        if mesh is None:
-            # Single-device fast path: ray-count-bucketed dense pair
-            # products. Random per-pair row gathers are the S fill-in
-            # bottleneck on TPU (72-byte rows, ~6 GB/s effective); a
-            # per-point gather of each point's observation list plus
-            # dense slot products needs 1 gather per *observation*
-            # instead of 2 per *pair*.
-            self.pair_buckets = self._build_pair_buckets(project, ukey)
-            if self.pair_buckets:
-                from .segsum import SegSum
+        self._pt_sorted = bool(np.all(np.diff(np.asarray(project.obs_pt)) >= 0))
+        self._img_sorted = bool(
+            np.all(np.diff(np.asarray(project.obs_img)) >= 0))
 
-                cp_all = np.concatenate([
-                    np.asarray(b[3]).reshape(-1) for b in self.pair_buckets
-                ])
-                self._seg_campair = SegSum(cp_all, self.n_campair + 1)
-            else:
-                self._seg_campair = None
+        # Flat-lane block algebra plans (see flatsel.py): tiny-block
+        # arrays are tile-padded ~56x when materialized, so every
+        # gather/segment boundary works on (n, d) rows with the block
+        # dims flattened into lanes.
+        from .flatsel import (
+            FlatBilinear, abt_terms, ata_terms, atb_terms, matmul_terms,
+            slotpair_abt_terms,
+        )
+
+        nb = self.n_cb
+        d_y = nb * 3
+        self._fb_u = FlatBilinear(2 * nb, 2 * nb, ata_terms(2, nb), nb * nb)
+        self._fb_v = FlatBilinear(6, 6, ata_terms(2, 3), 9)
+        self._fb_w = FlatBilinear(2 * nb, 6, atb_terms(2, nb, 3), d_y)
+        self._fb_y = FlatBilinear(d_y, 9, matmul_terms(nb, 3, 3), d_y)
+        self._fb_pair = FlatBilinear(d_y, d_y, abt_terms(nb, 3, nb), nb * nb)
+
+        # Uniform ray structure: obs_pt == repeat(arange(n_pt), R).
+        obs_pt_np = np.asarray(project.obs_pt)
+        counts = np.bincount(obs_pt_np, minlength=self.n_pt) \
+            if self.n_pt else np.zeros(0, np.int64)
+        R = int(counts.max(initial=0))
+        self._obs_uniform_R = (
+            R if mesh is None and self.n_pt and self.n_obs == self.n_pt * R
+            and np.array_equal(obs_pt_np, np.repeat(np.arange(self.n_pt), R))
+            else None
+        )
+
+        self._packed_R = None
+        self.pair_i1f = self.pair_i2f = None
+        self._seg_campair = None
+        if mesh is None:
+            from .segsum import SegSum
+
+            if self._obs_uniform_R is not None and 2 <= R <= 12:
+                # Packed per-point plan: no gathers at all — each
+                # point's R observation rows sit contiguously, so the
+                # strict-pair products are one select/reduce matmul on
+                # (n_pt, R*d_y).
+                a_s, b_s = np.triu_indices(R, k=1)
+                self._fb_packed = FlatBilinear(
+                    R * d_y, R * d_y,
+                    slotpair_abt_terms(a_s, b_s, nb, 3, d_y),
+                    len(a_s) * nb * nb,
+                )
+                idx = np.arange(self.n_obs).reshape(self.n_pt, R)
+                cp_mat = np.searchsorted(
+                    ukey,
+                    obs_img_np[idx[:, a_s]] * project.n_img
+                    + obs_img_np[idx[:, b_s]],
+                )
+                self._seg_campair = SegSum(cp_mat.reshape(-1),
+                                           self.n_campair)
+                self._packed_R = R
+            elif self.n_pairs:
+                # Generic flat-pair plan: two 18-byte-row gathers per
+                # pair (pairs pre-sorted by camera pair) + one flat
+                # segment reduction.
+                self.pair_i1f = jnp.asarray(i1, jnp.int32)
+                self.pair_i2f = jnp.asarray(i2, jnp.int32)
+                self._seg_campair = SegSum(cp_of_pair, self.n_campair)
         else:
-            self.pair_buckets = None
             pc = pair_chunk
             pad = (-len(i1)) % pc
             # Padding pairs point at a scratch observation (index
@@ -159,10 +206,6 @@ class SchurOps(BundleOps):
             self.pair_i1 = jnp.asarray(i1.reshape(-1, pc), jnp.int32)
             self.pair_i2 = jnp.asarray(i2.reshape(-1, pc), jnp.int32)
             self.pair_cp = jnp.asarray(cp_of_pair.reshape(-1, pc), jnp.int32)
-
-        self._pt_sorted = bool(np.all(np.diff(np.asarray(project.obs_pt)) >= 0))
-        self._img_sorted = bool(
-            np.all(np.diff(np.asarray(project.obs_img)) >= 0))
 
         # Static segment-reduction plans (single-device only: their
         # global gathers would defeat GSPMD partitioning on a mesh).
@@ -181,6 +224,21 @@ class SchurOps(BundleOps):
             [np.asarray(spec.io_x), np.asarray(spec.eo_x)], axis=1
         ).astype(np.int32)[:, self.cam_active]
         self.img_cols = jnp.asarray(img_cols)
+
+        # Windowed-scatter fast path: when every image owns a disjoint
+        # contiguous 6-column block (fixed-IO, all-EO-estimated, canonical
+        # order), camera blocks scatter as (6, 6) windows on an
+        # (n_img, 6, n_img, 6) view of S — one scatter index per block
+        # instead of 36 — and the camera gradient needs no scatter at all.
+        self._img_block6 = (
+            mesh is None
+            and nb == 6
+            and self.n_c == 6 * project.n_img
+            and np.array_equal(
+                img_cols,
+                6 * np.arange(project.n_img)[:, None] + np.arange(6),
+            )
+        )
 
         if mesh is not None:
             self.mesh = mesh
@@ -202,57 +260,6 @@ class SchurOps(BundleOps):
         self._matvec_jit = jax.jit(with_highest_precision(self._matvec_impl))
 
     # ------------------------------------------------------------------
-    def _build_pair_buckets(self, project, ukey):
-        """Static per-ray-count-bucket index arrays for the S fill-in.
-
-        Points are grouped by ray count padded up to a small set of
-        bucket sizes; for each bucket we store (obs-index matrix
-        (n_r, r), slot index arrays a_s/b_s with a<b, camera-pair id
-        matrix (n_r, S)). Padded entries point at the zero scratch
-        observation (index n_obs) and the dump camera-pair row."""
-        obs_pt_np = np.asarray(project.obs_pt)
-        obs_img_np = np.asarray(project.obs_img, dtype=np.int64)
-        order = np.argsort(obs_pt_np, kind="stable")
-        sorted_pt = obs_pt_np[order]
-        starts = np.flatnonzero(np.diff(sorted_pt, prepend=-1))
-        counts = np.diff(np.append(starts, len(obs_pt_np)))
-
-        sizes = [2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128]
-        cmax = int(counts.max(initial=0))
-        while sizes[-1] < cmax:
-            sizes.append(sizes[-1] * 2)
-
-        buckets = []
-        for si, r in enumerate(sizes):
-            lo = 2 if si == 0 else sizes[si - 1] + 1
-            sel = np.flatnonzero((counts >= lo) & (counts <= r))
-            if not len(sel):
-                continue
-            n_r = len(sel)
-            idx = np.full((n_r, r), self.n_obs, dtype=np.int64)
-            for row, g in enumerate(sel):
-                idx[row, : counts[g]] = order[starts[g]: starts[g] + counts[g]]
-            a_s, b_s = np.triu_indices(r, k=1)
-            i1 = idx[:, a_s]
-            i2 = idx[:, b_s]
-            valid = (i1 < self.n_obs) & (i2 < self.n_obs)
-            key = np.where(
-                valid,
-                obs_img_np[np.minimum(i1, self.n_obs - 1)] * project.n_img
-                + obs_img_np[np.minimum(i2, self.n_obs - 1)],
-                -1,
-            )
-            cp = np.full(key.shape, self.n_campair, dtype=np.int64)
-            cp[valid] = np.searchsorted(ukey, key[valid])
-            buckets.append((
-                jnp.asarray(idx, jnp.int32),
-                jnp.asarray(a_s, jnp.int32),
-                jnp.asarray(b_s, jnp.int32),
-                jnp.asarray(cp, jnp.int32),
-            ))
-        return buckets
-
-
     # ------------------------------------------------------------------
     def _sum_by_pt(self, data):
         if self._seg_pt is not None:
@@ -287,9 +294,10 @@ class SchurOps(BundleOps):
     # ------------------------------------------------------------------
     def _assemble_impl(self, x):
         io, eo, op = self.params_of_x(x)
+        op_obs = self._gather_pt(op)
         if self._has_active_io:
             v, jio, jeo, jop = self._jac_fn(
-                io[self.obs_img], eo[self.obs_img], op[self.obs_pt],
+                io[self.obs_img], eo[self.obs_img], op_obs,
                 self.ip_px, self.px_obs,
             )
             A = jnp.concatenate([jio, jeo], axis=2)[
@@ -297,38 +305,53 @@ class SchurOps(BundleOps):
             ] * self.w_ip[:, :, None]
         else:
             v, jeo, jop = self._jac_eo_op_fn(
-                io[self.obs_img], eo[self.obs_img], op[self.obs_pt],
+                io[self.obs_img], eo[self.obs_img], op_obs,
                 self.ip_px, self.px_obs,
             )
             A = jeo * self.w_ip[:, :, None]
         B = jop * self.w_ip[:, :, None]
         # Mask fixed point coordinates out of B.
-        B = B * self.op_mask[self.obs_pt][:, None, :]
+        B = B * self._gather_pt(self.op_mask)[:, None, :]
         vw = v * self.w_ip
 
         nc = self.n_c
-        n_img = self.base_eo.shape[0]
+        nb = self.n_cb
+        n = A.shape[0]
+        Af = A.reshape(n, 2 * nb)
+        Bf = B.reshape(n, 6)
 
-        # U: camera-camera block — aggregate per image first (all obs
-        # of an image share columns), then scatter 1 block per image.
-        Ublk = jnp.einsum("nka,nkb->nab", A, A)
-        Uimg = self._sum_by_img(Ublk)
-        icols = jnp.where(self.img_cols >= 0, self.img_cols, nc)
-        U = jnp.zeros((nc + 1, nc + 1), self.dtype)
-        U = U.at[icols[:, :, None], icols[:, None, :]].add(Uimg)
+        # Per-image payload (one flat segment reduction): U blocks +
+        # camera gradient. Per-point payload: V blocks + point gradient.
+        # Flat (n, d) rows keep the reductions tile-dense (flatsel.py).
+        gA = jnp.einsum("nka,nk->na", A, vw)
+        img_red = self._sum_by_img(
+            jnp.concatenate([self._fb_u(Af, Af), gA], axis=1))
+        Uimg = img_red[:, : nb * nb].reshape(-1, nb, nb)
+        gimg = img_red[:, nb * nb:]
+        if self._img_block6:
+            # Disjoint per-image 6-column blocks: U is block-diagonal in
+            # Uimg and the gradient needs no scatter.
+            nI = nc // 6
+            ar = jnp.arange(nI)
+            U = jnp.zeros((nI, 6, nI, 6), self.dtype)
+            U = U.at[ar, :, ar, :].set(Uimg).reshape(nc, nc)
+            U = jnp.pad(U, ((0, 1), (0, 1)))
+            gc = jnp.pad(gimg.reshape(nc), (0, 1))
+        else:
+            icols = jnp.where(self.img_cols >= 0, self.img_cols, nc)
+            U = jnp.zeros((nc + 1, nc + 1), self.dtype)
+            U = U.at[icols[:, :, None], icols[:, None, :]].add(Uimg)
+            gc = jnp.zeros(nc + 1, self.dtype)
+            gc = gc.at[icols].add(gimg)
 
-        # V: per-point 3x3 blocks.
-        Vblk = jnp.einsum("nka,nkb->nab", B, B)
-        V = self._sum_by_pt(Vblk)
+        gB = jnp.einsum("nka,nk->na", B, vw)
+        pt_red = self._sum_by_pt(
+            jnp.concatenate([self._fb_v(Bf, Bf), gB], axis=1))
+        V = pt_red[:, :9].reshape(-1, 3, 3)
+        gp = pt_red[:, 9:]
 
         # W: per-observation camera-point cross blocks.
-        Wb = jnp.einsum("nka,nkb->nab", A, B)  # (n_obs, n_cb, 3)
-
-        # gradients
-        gimg = self._sum_by_img(jnp.einsum("nka,nk->na", A, vw))
-        gc = jnp.zeros(nc + 1, self.dtype)
-        gc = gc.at[icols].add(gimg)
-        gp = self._sum_by_pt(jnp.einsum("nka,nk->na", B, vw))
+        Wb = self._fb_w(Af, Bf).reshape(n, nb, 3)
 
         # Priors.
         r_pr = (x[self.prior_x] - self.prior_val) * self.prior_w
@@ -356,6 +379,17 @@ class SchurOps(BundleOps):
         return U[:nc, :nc], V, Wb, gc[:nc], gp, rw
 
     # ------------------------------------------------------------------
+    def _gather_pt(self, flat_rows):
+        """Expand (n_pt, d) rows to (n_obs, d) by obs_pt — a broadcast
+        reshape when the ray structure is uniform (no gather at all)."""
+        R = self._obs_uniform_R
+        if R is not None:
+            n_pt, d = flat_rows.shape
+            return jnp.broadcast_to(
+                flat_rows[:, None, :], (n_pt, R, d)
+            ).reshape(n_pt * R, d)
+        return flat_rows[self.obs_pt]
+
     def _schur_S(self, U, Vinv, Wb, lam):
         """S = U + lam I - sum_pairs W_i1 Vinv_j W_i2'.
 
@@ -363,55 +397,41 @@ class SchurOps(BundleOps):
         Cholesky) and form Y_i = W_i L_j per observation. The diagonal
         terms Y_i Y_i' aggregate per image like U; the off-diagonal
         fill-in runs over strict pairs only (i1 before i2), segment-
-        summed into per-camera-pair blocks (scan over fixed-size
-        chunks) and scattered into S twice — the block and its
-        transpose — reconstructing the full symmetric fill-in at ~2.7x
-        less pair-gather traffic."""
+        summed into per-camera-pair blocks and scattered into S twice —
+        the block and its transpose. All products and reductions run on
+        flat (n, d) rows (flatsel.py) so nothing materializes in
+        tile-padded tiny-block layout."""
         nc = self.n_c
-        n_img = self.base_eo.shape[0]
-        Lv = chol3x3(Vinv)
-        Y = jnp.einsum("nab,nbc->nac", Wb, Lv[self.obs_pt])
+        nb = self.n_cb
+        Lvf = chol3x3(Vinv).reshape(-1, 9)
+        Wf = Wb.reshape(-1, nb * 3)
+        Yf = self._fb_y(Wf, self._gather_pt(Lvf))  # (n_obs, nb*3)
+
+        # Diagonal (self-pair) blocks, aggregated per image.
+        Df = self._fb_pair(Yf, Yf)  # (n_obs, nb*nb)
+        Dimg = self._sum_by_img(Df).reshape(-1, nb, nb)
+
+        if self._img_block6:
+            nI = nc // 6
+            ar = jnp.arange(nI)
+            S4 = (U + lam * jnp.eye(nc, dtype=self.dtype)).reshape(
+                nI, 6, nI, 6)
+            S4 = S4.at[ar, :, ar, :].add(-Dimg)
+            if self.n_pairs:
+                acc = self._pair_acc(Yf).reshape(self.n_campair, nb, nb)
+                S4 = S4.at[self.campair_img1, :, self.campair_img2, :].add(
+                    -acc)
+                S4 = S4.at[self.campair_img2, :, self.campair_img1, :].add(
+                    -jnp.swapaxes(acc, 1, 2))
+            return S4.reshape(nc, nc)
 
         S = jnp.zeros((nc + 1, nc + 1), self.dtype)
         S = S.at[:nc, :nc].set(U + lam * jnp.eye(nc, dtype=self.dtype))
         icols = jnp.where(self.img_cols >= 0, self.img_cols, nc)
-
-        # Diagonal (self-pair) blocks, aggregated per image.
-        Dblk = jnp.einsum("nac,nbc->nab", Y, Y)
-        Dimg = self._sum_by_img(Dblk)
         S = S.at[icols[:, :, None], icols[:, None, :]].add(-Dimg)
 
         if self.n_pairs:
-            Y_pad = jnp.concatenate(
-                [Y, jnp.zeros((1, self.n_cb, 3), self.dtype)], axis=0
-            )
-            if self.pair_buckets is not None:
-                # Dense bucketed products: one row gather per
-                # observation; slot products are dense batched
-                # (n_cb,3)x(3,n_cb) matmuls; single segment reduction.
-                contribs = []
-                for idx, a_s, b_s, _cp in self.pair_buckets:
-                    Yg = Y_pad[idx]  # (n_r, r, n_cb, 3)
-                    c = jnp.einsum(
-                        "jsac,jsbc->jsab", Yg[:, a_s], Yg[:, b_s]
-                    )
-                    contribs.append(c.reshape(-1, self.n_cb, self.n_cb))
-                acc = self._seg_campair(jnp.concatenate(contribs))
-            else:
-                acc0 = jnp.zeros(
-                    (self.n_campair + 1, self.n_cb, self.n_cb), self.dtype)
-
-                def body(acc, chunk):
-                    i1, i2, cp = chunk
-                    contrib = jnp.einsum(
-                        "pac,pbc->pab", Y_pad[i1], Y_pad[i2])
-                    return acc.at[cp].add(contrib), None
-
-                acc, _ = jax.lax.scan(
-                    body, acc0, (self.pair_i1, self.pair_i2, self.pair_cp)
-                )
-            acc = acc[: self.n_campair]
-
+            acc = self._pair_acc(Yf).reshape(self.n_campair, nb, nb)
             c1 = icols[self.campair_img1]
             c2 = icols[self.campair_img2]
             S = S.at[c1[:, :, None], c2[:, None, :]].add(-acc)
@@ -420,21 +440,55 @@ class SchurOps(BundleOps):
             )
         return S[:nc, :nc]
 
+    def _pair_acc(self, Yf):
+        """Per-camera-pair fill-in blocks (n_campair, nb*nb) from flat
+        whitened rows Yf = W L (n_obs, nb*3)."""
+        nb = self.n_cb
+        if self._packed_R is not None:
+            Yp = Yf.reshape(self.n_pt, self._packed_R * nb * 3)
+            Cf = self._fb_packed(Yp, Yp)  # (n_pt, n_slotpair*nb*nb)
+            return self._seg_campair(Cf.reshape(-1, nb * nb))
+        if self.pair_i1f is not None:
+            Cf = self._fb_pair(Yf[self.pair_i1f], Yf[self.pair_i2f])
+            return self._seg_campair(Cf)
+        Y_pad = jnp.concatenate(
+            [Yf.reshape(-1, nb, 3), jnp.zeros((1, nb, 3), self.dtype)],
+            axis=0)
+        acc0 = jnp.zeros((self.n_campair + 1, nb, nb), self.dtype)
+
+        def body(acc, chunk):
+            i1, i2, cp = chunk
+            contrib = jnp.einsum("pac,pbc->pab", Y_pad[i1], Y_pad[i2])
+            return acc.at[cp].add(contrib), None
+
+        acc, _ = jax.lax.scan(
+            body, acc0, (self.pair_i1, self.pair_i2, self.pair_cp))
+        return acc[: self.n_campair]
+
     def _reduce_rhs(self, Vinv, Wb, rc, rp):
         """rc_tilde = rc - sum_i W_i (Vinv rp)_pt(i), per-image sums."""
         nc = self.n_c
-        t = jnp.einsum("nab,nb->na", Vinv[self.obs_pt], rp[self.obs_pt])
+        Vg = self._gather_pt(Vinv.reshape(-1, 9)).reshape(-1, 3, 3)
+        t = jnp.einsum("nab,nb->na", Vg, self._gather_pt(rp))
         contrib = jnp.einsum("nab,nb->na", Wb, t)  # (n_obs, n_cb)
         cimg = self._sum_by_img(contrib)
+        if self._img_block6:
+            return rc - cimg.reshape(nc)
         icols = jnp.where(self.img_cols >= 0, self.img_cols, nc)
         return jnp.zeros(nc + 1, self.dtype).at[icols].add(-cimg)[:nc] + rc
 
-    def _backsub(self, Vinv, Wb, rp, pc):
-        """pp = Vinv (rp - W' pc): batched 3x3 point back-substitution."""
+    def _cam_cols_per_obs(self, pc):
+        """Per-observation camera-block entries of a camera vector pc."""
         nc = self.n_c
+        if self._img_block6:
+            return pc.reshape(nc // 6, 6)[self.obs_img]
         icols = jnp.where(self.img_cols >= 0, self.img_cols, nc)
         pc_pad = jnp.concatenate([pc, jnp.zeros(1, self.dtype)])
-        pcg = pc_pad[icols][self.obs_img]  # (n_obs, n_cb)
+        return pc_pad[icols][self.obs_img]
+
+    def _backsub(self, Vinv, Wb, rp, pc):
+        """pp = Vinv (rp - W' pc): batched 3x3 point back-substitution."""
+        pcg = self._cam_cols_per_obs(pc)  # (n_obs, n_cb)
         down = jnp.einsum("nab,na->nb", Wb, pcg)  # (n_obs, 3)
         rp_t = rp - self._sum_by_pt(down)
         return jnp.einsum("nab,nb->na", Vinv, rp_t) * self.op_mask
@@ -507,16 +561,17 @@ class SchurOps(BundleOps):
 
     def _matvec_impl(self, U, V, Wb, p):
         nc = self.n_c
-        n_img = self.base_eo.shape[0]
         pc, P = self.split_x(p)
-        icols = jnp.where(self.img_cols >= 0, self.img_cols, nc)
-        pc_pad = jnp.concatenate([pc, jnp.zeros(1, self.dtype)])
-        pcg = pc_pad[icols][self.obs_img]
+        pcg = self._cam_cols_per_obs(pc)
 
         yc = U @ pc
-        up = jnp.einsum("nab,nb->na", Wb, P[self.obs_pt])  # (n_obs,n_cb)
+        up = jnp.einsum("nab,nb->na", Wb, self._gather_pt(P))  # (n_obs,n_cb)
         uimg = self._sum_by_img(up)
-        yc = (jnp.zeros(nc + 1, self.dtype).at[icols].add(uimg))[:nc] + yc
+        if self._img_block6:
+            yc = yc + uimg.reshape(nc)
+        else:
+            icols = jnp.where(self.img_cols >= 0, self.img_cols, nc)
+            yc = (jnp.zeros(nc + 1, self.dtype).at[icols].add(uimg))[:nc] + yc
 
         yp = jnp.einsum("jab,jb->ja", V, P)
         yp = yp + self._sum_by_pt(jnp.einsum("nab,na->nb", Wb, pcg))
