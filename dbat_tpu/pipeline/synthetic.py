@@ -11,6 +11,10 @@ Geometry: a convergent ring of cameras looking at a blob of points
 around the origin — every point is seen by a run of consecutive
 cameras, giving the banded camera-pair structure typical of
 close-range networks.
+
+Everything here is pure NumPy: generating a Hamburg-scale network must
+cost seconds of host time, not device round-trips (the round-1 version
+paid one TPU sync per camera and ~150 s at stpierre scale).
 """
 
 from __future__ import annotations
@@ -18,31 +22,95 @@ from __future__ import annotations
 import numpy as np
 
 from ..core.project import N_LIN, Project
-from ..models.rotation import decompose_w2c
+
+#: IO column names in serialization order (buildparamtypes.m:11-20).
+IO_COLS = {"cc": 0, "px": 1, "py": 2, "as": 3, "sk": 4,
+           "K1": 5, "K2": 6, "K3": 7, "P1": 8, "P2": 9}
 
 
-def _look_at_w2c(C, target, up=(0.0, 0.0, 1.0)):
-    """World-to-camera rotation looking from C toward target.
+def _look_at_w2c_np(C, target=None):
+    """World-to-camera rotations for cameras at rows of C looking at
+    `target` (default origin); vectorized over cameras.
 
-    Rows are the camera axes; camera z points from target to C
-    (DBAT projection divides by depth with -f, depth negative in
-    front), i.e. the viewing direction is -z.
+    Rows of each matrix are the camera axes; camera z points from
+    target to C (DBAT projection divides by depth with -f, depth
+    negative in front), i.e. the viewing direction is -z.
     """
-    z = C - target
-    z = z / np.linalg.norm(z)
-    up = np.asarray(up, dtype=float)
-    x = np.cross(up, z)
-    if np.linalg.norm(x) < 1e-9:
-        x = np.cross(np.array([0.0, 1.0, 0.0]), z)
-    x = x / np.linalg.norm(x)
+    C = np.asarray(C, float)
+    t = np.zeros(3) if target is None else np.asarray(target, float)
+    z = C - t
+    z /= np.linalg.norm(z, axis=1, keepdims=True)
+    up = np.array([0.0, 0.0, 1.0])
+    x = np.cross(np.broadcast_to(up, z.shape), z)
+    bad = np.linalg.norm(x, axis=1) < 1e-9
+    if bad.any():
+        x[bad] = np.cross(np.array([0.0, 1.0, 0.0]), z[bad])
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
     y = np.cross(z, x)
-    return np.stack([x, y, z], axis=0)
+    return np.stack([x, y, z], axis=1)  # (n, 3, 3)
+
+
+def _decompose_w2c_np(M):
+    """(omega, phi, kappa) from stacked w2c matrices (n,3,3); the numpy
+    twin of models.rotation.decompose_w2c (ref derotmat3d.m)."""
+    phi = np.arcsin(np.clip(M[:, 2, 0], -1.0, 1.0))
+    omega = np.arctan2(-M[:, 2, 1], M[:, 2, 2])
+    kappa = np.arctan2(-M[:, 1, 0], M[:, 0, 0])
+    return np.stack([omega, phi, kappa], axis=1)
+
+
+def _w2c_from_angles_np(ang):
+    """Stacked w2c matrices from (n,3) omega-phi-kappa angles:
+    (R1(w) @ R2(p) @ R3(k)).T — numpy twin of rotation.euler_rotmat."""
+    w, p, k = ang[:, 0], ang[:, 1], ang[:, 2]
+    cw, sw = np.cos(w), np.sin(w)
+    cp, sp = np.cos(p), np.sin(p)
+    ck, sk = np.cos(k), np.sin(k)
+    o, z = np.ones_like(w), np.zeros_like(w)
+    R1 = np.stack([o, z, z, z, cw, -sw, z, sw, cw], -1).reshape(-1, 3, 3)
+    R2 = np.stack([cp, z, sp, z, o, z, -sp, z, cp], -1).reshape(-1, 3, 3)
+    R3 = np.stack([ck, -sk, z, sk, ck, z, z, z, o], -1).reshape(-1, 3, 3)
+    return np.transpose(R1 @ R2 @ R3, (0, 2, 1))
+
+
+def _ray_counts(rays_per_pt, n_pt, n_img, n_obs_target, rng):
+    """Per-point ray counts. `rays_per_pt` is an int (uniform count) or
+    a (lo, hi) tuple: skewed counts drawn from a clipped lognormal and
+    nudged to hit `n_obs_target` total observations exactly — the
+    irregular distribution of a real PhotoScan network (e.g. stpierre
+    C5: 17,993 points / 196,715 measurements, ~10.9 mean rays,
+    stpierrePS_C5-dbatreport.txt:23-24)."""
+    if np.isscalar(rays_per_pt):
+        k = min(int(rays_per_pt), n_img)
+        return np.full(n_pt, k, dtype=np.int64)
+    lo, hi = rays_per_pt
+    lo = max(2, int(lo))
+    hi = min(int(hi), n_img)
+    mean = (n_obs_target / n_pt) if n_obs_target else (lo + hi) / 2
+    # Lognormal with sigma 0.5 around the target mean, clipped.
+    mu = np.log(max(mean, lo + 0.5)) - 0.5 * 0.5**2
+    counts = np.clip(np.round(rng.lognormal(mu, 0.5, n_pt)), lo, hi)
+    counts = counts.astype(np.int64)
+    if n_obs_target:
+        # Nudge random in-range entries by +-1 until the total matches.
+        delta = int(n_obs_target) - int(counts.sum())
+        while delta != 0:
+            step = 1 if delta > 0 else -1
+            room = counts < hi if delta > 0 else counts > lo
+            idx = np.flatnonzero(room)
+            take = min(abs(delta), len(idx))
+            if take == 0:
+                break
+            sel = rng.choice(idx, size=take, replace=False)
+            counts[sel] += step
+            delta -= step * take
+    return counts
 
 
 def make_ring_network(
     n_img: int = 20,
     n_pt: int = 200,
-    rays_per_pt: int = 6,
+    rays_per_pt=6,
     n_ctrl: int = 4,
     radius: float = 10.0,
     focal: float = 7.0,
@@ -53,13 +121,23 @@ def make_ring_network(
     dist_model: int = 3,
     K=(1e-4, 0.0, 0.0),
     P=(1e-5, 0.0),
+    est_io_cols=(),
+    n_obs_target: int = 0,
     seed: int = 0,
 ) -> Project:
     """Build a synthetic Project with exact projections (+optional noise).
 
     Points sit in a unit-ish blob at the origin; cameras on a ring of
-    given radius look inward. Point j is observed by `rays_per_pt`
-    consecutive cameras starting at a j-dependent offset.
+    given radius look inward. Point j is observed by a run of
+    consecutive cameras starting at a j-dependent offset; run length is
+    `rays_per_pt` (int = uniform, (lo, hi) = irregular lognormal counts
+    summing to `n_obs_target`).
+
+    `est_io_cols` names IO parameters to self-calibrate (shared across
+    all images, block-variant): e.g. ("cc","px","py","K1","K2","K3",
+    "P1","P2") reproduces the stpierre C5 8-parameter calibration
+    (stpierrePS_C5-dbatreport.txt "Calibration: yes (cc px py K1 K2 K3
+    P1 P2)").
     """
     rng = np.random.default_rng(seed)
     nK, nP = 3, 2
@@ -84,40 +162,29 @@ def make_ring_network(
     )
     eo = np.zeros((n_img, 6))
     eo[:, 0:3] = C
-    for i in range(n_img):
-        M = _look_at_w2c(C[i], np.zeros(3))
-        eo[i, 3:6] = np.asarray(decompose_w2c(M))
+    eo[:, 3:6] = _decompose_w2c_np(_look_at_w2c_np(C))
 
     # Points in a blob.
     op = rng.uniform(-2.0, 2.0, (n_pt, 3))
     op[:, 2] *= 0.5
 
     # Observations: consecutive-camera runs per point (vectorized).
-    k = min(rays_per_pt, n_img)
+    counts = _ray_counts(rays_per_pt, n_pt, n_img, n_obs_target, rng)
     start = (np.arange(n_pt) * 7) % n_img
-    cams = (start[:, None] + np.arange(k)[None, :]) % n_img
-    obs_img = cams.reshape(-1).astype(np.int32)
-    obs_pt = np.repeat(np.arange(n_pt), k).astype(np.int32)
+    within = np.arange(int(counts.sum())) - np.repeat(
+        np.cumsum(counts) - counts, counts)
+    obs_pt = np.repeat(np.arange(n_pt), counts).astype(np.int32)
+    obs_img = ((start[obs_pt] + within) % n_img).astype(np.int32)
 
     # Exact projections -> pixel measurements: compute the ideal pinhole
     # projection (the residual lhs) for every observation, then invert
     # the measurement chain rhs(u) == lhs by vectorized fixed-point
-    # iteration (distortion/affine are small corrections).
-    import jax
-    import jax.numpy as jnp
-
-    from ..models import primitives as pr
-    from ..models.rotation import world_to_cam_matrix
-
-    def lhs1(eo_v, X, f):
-        return pr.euler_pinhole(X, eo_v[:3], eo_v[3:6], -f)
-
-    target = np.asarray(
-        jax.vmap(lhs1)(
-            jnp.asarray(eo[obs_img]), jnp.asarray(op[obs_pt]),
-            jnp.asarray(io[obs_img, 0]),
-        )
-    )  # (n_obs, 2) mm, centered at pp
+    # iteration (distortion/affine are small corrections). The w2c
+    # matrices are reconstructed from the stored angles so the targets
+    # match what the solver's projection model produces bit-for-bit.
+    M = _w2c_from_angles_np(eo[:, 3:6])  # (n_img, 3, 3)
+    pc = np.einsum("nij,nj->ni", M[obs_img], op[obs_pt] - C[obs_img])
+    target = (-io[obs_img, 0:1]) * pc[:, :2] / pc[:, 2:3]  # (n_obs, 2) mm
 
     pp = io[obs_img][:, 1:3]
     Kv = -io[obs_img][:, N_LIN:N_LIN + nK]  # undistort coefficients
@@ -168,6 +235,12 @@ def make_ring_network(
     est_op = np.ones((n_pt, 3), dtype=bool)
     est_op[:n_ctrl] = False
 
+    # Self-calibration mask: shared camera (io_block all ones), listed
+    # columns estimated on every image.
+    est_io = np.zeros((n_img, NC), dtype=bool)
+    for c in est_io_cols:
+        est_io[:, IO_COLS[c] if isinstance(c, str) else int(c)] = True
+
     op_id = np.arange(1, n_pt + 1)
 
     proj = Project(
@@ -182,7 +255,7 @@ def make_ring_network(
         sensor_px_size=np.full((n_img, 2), px_size),
         io_block=np.ones((n_img, NC), dtype=int),
         eo_block=np.tile(np.arange(1, n_img + 1)[:, None], (1, 6)),
-        est_io=np.zeros((n_img, NC), dtype=bool),
+        est_io=est_io,
         est_eo=np.ones((n_img, 6), dtype=bool),
         est_op=est_op,
         prior_io_val=io.copy(),
@@ -214,12 +287,19 @@ def make_ring_network(
     return proj
 
 
-def perturb(project: Project, eo_pos=0.1, eo_ang=0.02, op_pos=0.1, seed=1):
-    """Perturb EO/OP initial values (cf. romabundledemo.m:66-74)."""
+def perturb(project: Project, eo_pos=0.1, eo_ang=0.02, op_pos=0.1,
+            io_scale=0.0, seed=1):
+    """Perturb EO/OP (and optionally IO) initial values
+    (cf. romabundledemo.m:66-74)."""
     rng = np.random.default_rng(seed)
     p = project
     p.eo[:, 0:3] += rng.normal(0, eo_pos, (p.n_img, 3))
     p.eo[:, 3:6] += rng.normal(0, eo_ang, (p.n_img, 3))
     est = p.est_op.all(axis=1)
     p.op[est] += rng.normal(0, op_pos, (est.sum(), 3))
+    if io_scale:
+        # Same relative perturbation on every image of a shared block.
+        dio = rng.normal(0, io_scale, p.io.shape[1])
+        p.io[:, 0] *= 1.0 + dio[0]
+        p.io[:, 1:3] += p.io[:, 0:1] * dio[1:3][None, :] * 0.1
     return p

@@ -12,7 +12,7 @@ def make_lnz(path, n_img=6, grid=6, focal=7.0, im=(2000, 1500),
              sensor=(8.0, 6.0)):
     """Create a synthetic .lnz: planar target viewed by a camera ring."""
     from dbat_tpu.models import primitives as pr
-    from dbat_tpu.pipeline.synthetic import _look_at_w2c
+    from dbat_tpu.pipeline.synthetic import _look_at_w2c_np
 
     xres = im[0] / sensor[0]
     yres = im[1] / sensor[1]
@@ -28,7 +28,7 @@ def make_lnz(path, n_img=6, grid=6, focal=7.0, im=(2000, 1500),
     for i in range(n_img):
         a = 2 * np.pi * i / n_img
         C = np.array([0.5 + 1.5 * np.cos(a), 0.5 + 1.5 * np.sin(a), 2.5])
-        M = _look_at_w2c(C, np.array([0.5, 0.5, 0.0]))
+        M = _look_at_w2c_np(C[None], np.array([0.5, 0.5, 0.0]))[0]
         # camera-to-world transform with PhotoScan axis flip
         D = np.diag([1.0, -1.0, -1.0, 1.0])
         Pm = np.vstack([np.hstack([M, (-M @ C)[:, None]]),
