@@ -119,6 +119,94 @@ class Covariance:
         idx = eox[eox >= 0]
         return self._cam_inv_block(idx) * self.s0_2
 
+    def ciof(self):
+        """CIOF over *leading* estimated IO entries (bundle_cov.m:93-99
+        mode CIOF; high_io_correlations.m zeroes non-leading rows so
+        block-shared duplicates do not report corr == 1).
+
+        Returns (C, entries) with entries an (n,2) array of
+        (image, io_column) for each row of C."""
+        lead = np.asarray(self.spec.io_leading)
+        iox = np.asarray(self.spec.io_x)
+        sel = lead & (iox >= 0)
+        imgs, cols = np.nonzero(sel)
+        C = self._cam_inv_block(iox[imgs, cols]) * self.s0_2
+        return C, np.stack([imgs, cols], axis=1)
+
+    def ceof(self):
+        """CEOF over leading estimated EO entries; returns (C, entries)
+        with (image, eo_column) rows (bundle_cov.m CEOF mode)."""
+        lead = np.asarray(self.spec.eo_leading)
+        eox = np.asarray(self.spec.eo_x)
+        sel = lead & (eox >= 0)
+        imgs, cols = np.nonzero(sel)
+        C = self._cam_inv_block(eox[imgs, cols]) * self.s0_2
+        return C, np.stack([imgs, cols], axis=1)
+
+    def copf(self, pts=None, max_params: int = 12000):
+        """Full OP covariance (mode COPF, bundle_cov.m:93-99): the dense
+        (3k, 3k) posterior covariance over the selected points
+        (default: all), including cross-point blocks.
+
+        COPF_{ij} = delta_ij V_i^-1 + (V^-1 Ncp_i') S^-1 (Ncp_j V^-1),
+        computed as B'B with B = L^-T (Ncp V^-1) — one triangular solve
+        against 3k columns. Guarded by `max_params` (the reference's
+        dense COPF is likewise only feasible on small networks)."""
+        self.factorize()
+        p = self.project
+        opx = np.asarray(self.spec.op_x)
+        if pts is None:
+            pts = np.arange(p.n_op)
+        pts = np.asarray(pts)
+        k = len(pts)
+        if 3 * k > max_params:
+            raise ValueError(
+                f"COPF over {k} points = {3*k} params exceeds guard "
+                f"{max_params}; pass pts= or raise max_params")
+
+        if self._dense_inv is not None:
+            Ninv = np.asarray(self._dense_inv)
+            out = np.zeros((3 * k, 3 * k))
+            xidx = opx[pts]  # (k,3)
+            flat = xidx.reshape(-1)
+            est = flat >= 0
+            sub = Ninv[np.ix_(flat[est], flat[est])]
+            out[np.ix_(est, est)] = sub
+            return out * self.s0_2
+
+        ops = self.ops
+        Vinv = self._schur["Vinv"]
+        Wb = self._schur["Wb"]
+        L = self._schur["L"]
+        n_c = ops.n_c
+        obs_pt = np.asarray(p.obs_pt)
+        cam_cols = ops.cols_np[:, ops.cam_active]
+
+        # Ncp columns for the selected points.
+        in_sel = np.full(p.n_op, -1, np.int64)
+        in_sel[pts] = np.arange(k)
+        sel = np.flatnonzero(in_sel[obs_pt] >= 0)
+        local_pt = in_sel[obs_pt[sel]]
+        cc = cam_cols[sel]
+        cc = np.where(cc >= 0, cc, n_c)
+        Ncp = jnp.zeros((n_c + 1, k, 3), L.dtype)
+        Ncp = Ncp.at[jnp.asarray(cc), jnp.asarray(local_pt)[:, None]].add(
+            Wb[jnp.asarray(sel)])
+        # Right-multiply each point column block by V_j^-1.
+        Vs = Vinv[jnp.asarray(pts)]  # (k,3,3)
+        NV = jnp.einsum("cja,jab->cjb", Ncp[:n_c], Vs).reshape(n_c, 3 * k)
+        y = jax.scipy.linalg.solve_triangular(L, NV, lower=True)
+        out = np.array(y.T @ y)  # (3k, 3k), writable host copy
+        # Block-diagonal V^-1 term.
+        ar = np.arange(k)
+        out4 = out.reshape(k, 3, k, 3)
+        out4[ar, :, ar, :] += np.asarray(Vs)
+        out = out4.reshape(3 * k, 3 * k)
+        est = (opx[pts] >= 0).reshape(-1)
+        out[~est, :] = 0.0
+        out[:, ~est] = 0.0
+        return out * self.s0_2
+
     # ------------------------------------------------------------------
     def cop(self, chunk: int = 4096):
         """(n_op, 3, 3) per-point posterior covariance blocks.
@@ -144,8 +232,8 @@ class Covariance:
         Wb = self._schur["Wb"]
         L = self._schur["L"]
         n_c = ops.n_c
-        obs_pt = np.asarray(ops.obs_pt)
-        cam_cols = np.asarray(ops.cam_cols)
+        obs_pt = np.asarray(self.project.obs_pt)
+        cam_cols = ops.cols_np[:, ops.cam_active]
 
         out = np.zeros((p.n_op, 3, 3))
         Wb_np = None

@@ -46,27 +46,23 @@ class BundleOps:
         self.model = int(np.unique(np.atleast_1d(p.dist_model))[0])
         self.nK, self.nP = p.nK, p.nP
 
-        self.base_io = jnp.asarray(p.io, dtype)
-        self.base_eo = jnp.asarray(p.eo, dtype)
-        self.base_op = jnp.asarray(p.op, dtype)
-
-        self.obs_img = jnp.asarray(p.obs_img, jnp.int32)
-        self.obs_pt = jnp.asarray(p.obs_pt, jnp.int32)
-        self.ip_px = jnp.asarray(p.ip_px, dtype)
-        # Pixel size: y pixel size per image (buildweightmatrix.m:20 uses
-        # the per-camera pxSize for std scaling; residuals use sz(1)).
-        self.px_size_img = jnp.asarray(p.sensor_px_size[:, 0], dtype)
-        self.px_obs = self.px_size_img[self.obs_img]
+        # --- Host-side (numpy) setup. NOTHING here may touch the
+        # device: setup-time eager device ops cost a compile + dispatch
+        # each and any later host read-back blocks on the whole queue —
+        # minutes of wall-clock over a tunneled TPU at Hamburg scale.
+        obs_img_np = np.asarray(p.obs_img)
+        obs_pt_np = np.asarray(p.obs_pt)
+        px_size_np = np.asarray(p.sensor_px_size[:, 0], np.float64)
+        px_obs_np = px_size_np[obs_img_np]
         # Weights: IP std given in px, residuals in mm (buildweightmatrix.m).
-        std_mm = jnp.asarray(p.ip_std_px, dtype) * self.px_obs[:, None]
-        self.w_ip = 1.0 / std_mm  # (n_obs, 2); sqrt-weights
+        w_ip_np = 1.0 / (np.asarray(p.ip_std_px) * px_obs_np[:, None])
 
         # Column maps (n_obs, NC+6+3), -1 for fixed parameters.
-        self.cols = jnp.concatenate(
+        self.cols_np = np.concatenate(
             [
-                jnp.asarray(spec.io_x, jnp.int32)[self.obs_img],
-                jnp.asarray(spec.eo_x, jnp.int32)[self.obs_img],
-                jnp.asarray(spec.op_x, jnp.int32)[self.obs_pt],
+                np.asarray(spec.io_x, np.int32)[obs_img_np],
+                np.asarray(spec.eo_x, np.int32)[obs_img_np],
+                np.asarray(spec.op_x, np.int32)[obs_pt_np],
             ],
             axis=1,
         )
@@ -77,23 +73,35 @@ class BundleOps:
             vals = np.asarray(vals).reshape(-1)
             stds = np.asarray(stds).reshape(-1)
             return (
-                jnp.asarray(obs_x, jnp.int32),
-                jnp.asarray(vals[src], dtype),
-                jnp.asarray(1.0 / stds[src], dtype),
+                np.asarray(obs_x, np.int32),
+                vals[src],
+                1.0 / stds[src],
             )
 
-        self.pio_x, self.pio_val, self.pio_w = prior(
-            p.prior_io_val, p.prior_io_std, spec.io_obs_src, spec.io_obs_x
-        )
-        self.peo_x, self.peo_val, self.peo_w = prior(
-            p.prior_eo_val, p.prior_eo_std, spec.eo_obs_src, spec.eo_obs_x
-        )
-        self.pop_x, self.pop_val, self.pop_w = prior(
-            p.prior_op_val, p.prior_op_std, spec.op_obs_src, spec.op_obs_x
-        )
-        self.prior_x = jnp.concatenate([self.pio_x, self.peo_x, self.pop_x])
-        self.prior_val = jnp.concatenate([self.pio_val, self.peo_val, self.pop_val])
-        self.prior_w = jnp.concatenate([self.pio_w, self.peo_w, self.pop_w])
+        pio = prior(p.prior_io_val, p.prior_io_std,
+                    spec.io_obs_src, spec.io_obs_x)
+        peo = prior(p.prior_eo_val, p.prior_eo_std,
+                    spec.eo_obs_src, spec.eo_obs_x)
+        pop = prior(p.prior_op_val, p.prior_op_std,
+                    spec.op_obs_src, spec.op_obs_x)
+        self.prior_x_np = np.concatenate([pio[0], peo[0], pop[0]])
+        prior_val_np = np.concatenate([pio[1], peo[1], pop[1]])
+        prior_w_np = np.concatenate([pio[2], peo[2], pop[2]])
+
+        # --- Device constants (single host->device transfers).
+        self.base_io = jnp.asarray(p.io, dtype)
+        self.base_eo = jnp.asarray(p.eo, dtype)
+        self.base_op = jnp.asarray(p.op, dtype)
+        self.obs_img = jnp.asarray(obs_img_np, jnp.int32)
+        self.obs_pt = jnp.asarray(obs_pt_np, jnp.int32)
+        self.ip_px = jnp.asarray(p.ip_px, dtype)
+        self.px_size_img = jnp.asarray(px_size_np, dtype)
+        self.px_obs = jnp.asarray(px_obs_np, dtype)
+        self.w_ip = jnp.asarray(w_ip_np, dtype)  # (n_obs, 2); sqrt-weights
+        self.cols = jnp.asarray(self.cols_np)
+        self.prior_x = jnp.asarray(self.prior_x_np, jnp.int32)
+        self.prior_val = jnp.asarray(prior_val_np, dtype)
+        self.prior_w = jnp.asarray(prior_w_np, dtype)
 
         self.n_obs = int(p.obs_img.shape[0])
         self.n_res = 2 * self.n_obs + int(self.prior_x.shape[0])
@@ -112,10 +120,61 @@ class BundleOps:
         # rotation apply is a batched matmul, and near convergence the
         # residual is the tiny difference of O(10mm) projections — one
         # bf16 MXU pass turns the converged residual into noise.
-        self.residuals = jax.jit(with_highest_precision(self._residuals))
-        self.weighted_residual = jax.jit(
+        self.residuals = self.hoisted_jit(
+            with_highest_precision(self._residuals))
+        self.weighted_residual = self.hoisted_jit(
             with_highest_precision(self._weighted_residual))
-        self._normal_jit = jax.jit(with_highest_precision(self._normal))
+        self._normal_jit = self.hoisted_jit(
+            with_highest_precision(self._normal))
+
+    # -- constant hoisting ----------------------------------------------
+    # jax.jit embeds closure-captured arrays as HLO literals; at Hamburg
+    # scale the static plans (index maps, pair lists, weights) total
+    # ~50 MB, and the TPU compiler spends minutes chewing on them every
+    # process (the persistent cache cannot help: the executable itself
+    # carries the constants). hoisted_jit traces with those attributes
+    # temporarily replaced by jit ARGUMENTS, so the compiled program is
+    # a few hundred KB and the arrays are passed in at call time.
+    def _const_slots(self):
+        # Re-scanned per hoisted_jit creation: subclasses add plan
+        # arrays after the base-class jits are built.
+        slots, seen = [], set()
+
+        def scan(obj):
+            if id(obj) in seen or not hasattr(obj, "__dict__"):
+                return
+            seen.add(id(obj))
+            for n, v in sorted(vars(obj).items()):
+                if isinstance(v, jax.Array) and v.size >= 256:
+                    slots.append((obj, n))
+                elif type(v).__module__.startswith("dbat_tpu"):
+                    scan(v)
+
+        scan(self)
+        return slots
+
+    def hoisted_jit(self, impl):
+        """jit(impl) with this object's large device-array attributes
+        passed as arguments instead of baked-in constants."""
+        slots = self._const_slots()
+
+        def wrapper(args, consts):
+            olds = [getattr(o, n) for o, n in slots]
+            for (o, n), v in zip(slots, consts):
+                setattr(o, n, v)
+            try:
+                return impl(*args)
+            finally:
+                for (o, n), v in zip(slots, olds):
+                    setattr(o, n, v)
+
+        jitted = jax.jit(wrapper)
+
+        def call(*args):
+            consts = [getattr(o, n) for o, n in slots]
+            return jitted(tuple(args), consts)
+
+        return call
 
     def _apply_mesh(self, mesh):
         """Shard per-observation arrays over the 'obs' mesh axis; GSPMD
@@ -206,7 +265,7 @@ class BundleOps:
         import scipy.sparse as sp
         from scipy.sparse.csgraph import maximum_bipartite_matching
 
-        cols = np.asarray(self.cols)
+        cols = self.cols_np
         n, nb = cols.shape
         rows_i = []
         cols_i = []
@@ -214,7 +273,7 @@ class BundleOps:
             rr = 2 * np.arange(n) + k
             rows_i.append(np.repeat(rr, nb))
             cols_i.append(cols.reshape(-1))
-        pr_x = np.asarray(self.prior_x)
+        pr_x = self.prior_x_np
         rows_i.append(2 * n + np.arange(pr_x.size))
         cols_i.append(pr_x)
         rows_i = np.concatenate(rows_i)
@@ -231,14 +290,14 @@ class BundleOps:
         import scipy.sparse as sp
         from scipy.sparse.csgraph import maximum_bipartite_matching
 
-        cols = np.asarray(self.cols)
+        cols = self.cols_np
         n, nb = cols.shape
         rows_i = np.concatenate(
             [np.repeat(2 * np.arange(n), nb), np.repeat(2 * np.arange(n) + 1, nb),
-             2 * n + np.arange(np.asarray(self.prior_x).size)]
+             2 * n + np.arange(self.prior_x_np.size)]
         )
         cols_i = np.concatenate(
-            [cols.reshape(-1), cols.reshape(-1), np.asarray(self.prior_x)]
+            [cols.reshape(-1), cols.reshape(-1), self.prior_x_np]
         )
         keep = cols_i >= 0
         A = sp.csr_matrix(

@@ -91,13 +91,13 @@ class SchurOps(BundleOps):
             self._jac_eo_op_fn = make_obs_jacobian_fn(
                 self.model, self.nK, self.nP, with_io=False
             )
-        self.cam_cols = self.cols[:, jnp.asarray(self.cam_active)]
+        self.cam_cols = jnp.asarray(self.cols_np[:, self.cam_active])
         self.op_xidx = jnp.asarray(spec.op_x, jnp.int32)  # (n_op,3)
         self.op_mask = jnp.asarray(spec.op_x >= 0, dtype)  # est-coordinate mask
         self.n_pt = project.n_op
 
         # Prior split: io/eo priors have x < n_c; op priors x >= n_c.
-        pr_x = np.asarray(self.prior_x)
+        pr_x = self.prior_x_np
         cam_sel = np.flatnonzero(pr_x < self.n_c)
         op_sel = np.flatnonzero(pr_x >= self.n_c)
         self.cam_prior_sel = jnp.asarray(cam_sel, jnp.int32)
@@ -255,9 +255,18 @@ class SchurOps(BundleOps):
 
         from .precision import with_highest_precision
 
-        self._assemble = jax.jit(with_highest_precision(self._assemble_impl))
-        self._solve_jit = jax.jit(with_highest_precision(self._solve_impl))
-        self._matvec_jit = jax.jit(with_highest_precision(self._matvec_impl))
+        self._assemble = self.hoisted_jit(
+            with_highest_precision(self._assemble_impl))
+        self._solve_jit = self.hoisted_jit(
+            with_highest_precision(self._solve_impl))
+        self._matvec_jit = self.hoisted_jit(
+            with_highest_precision(self._matvec_impl))
+        # The base-class residual jits were built before the Schur plan
+        # arrays existed; rebuild them so those are hoisted too.
+        self.residuals = self.hoisted_jit(
+            with_highest_precision(self._residuals))
+        self.weighted_residual = self.hoisted_jit(
+            with_highest_precision(self._weighted_residual))
 
     # ------------------------------------------------------------------
     # ------------------------------------------------------------------
@@ -595,13 +604,14 @@ class SchurNormalState:
 
     def diag(self):
         dU = jnp.diagonal(self.U)
-        dV = jnp.einsum("jaa->ja", self.V)
+        dV = jnp.einsum("...aa->...a", self.V)
         return self.ops.join_x(dU, dV * self.ops.op_mask)
 
     def trace_diag(self):
         return float(
             jnp.sum(jnp.diagonal(self.U))
-            + jnp.sum(jnp.einsum("jaa->ja", self.V) * self.ops.op_mask)
+            + jnp.sum(jnp.einsum("...aa->...a", self.V)
+                      * self.ops.op_mask)
         )
 
     def matvec(self, p):
