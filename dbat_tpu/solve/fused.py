@@ -18,13 +18,58 @@ import jax.numpy as jnp
 import numpy as np
 
 from .precision import with_highest_precision
-from .solvers import LINESEARCH_FAILED, OK, SolveResult, TOO_MANY_ITERS
+from .solvers import (
+    FLOOR_FACTOR, LINESEARCH_FAILED, OK, SolveResult, TOO_MANY_ITERS,
+)
 
 
 def fused_gna(ops, x0, max_iter: int = 20, conv_tol: float = 1e-6,
               abs_term: bool = False, mu: float = 0.1,
               alpha_min: float = 1e-9) -> SolveResult:
     """Run GNA fully on device. `ops` must be a SchurOps."""
+    run = _get_fused_run(ops, max_iter, conv_tol, abs_term, mu, alpha_min)
+
+    # Structural check stays on host (pattern-only, one-time).
+    if ops.structural_rank() < ops.n_x:
+        from .solvers import STRUCT_RANK_DEFICIENT
+
+        res = SolveResult(x=np.asarray(x0), code=STRUCT_RANK_DEFICIENT,
+                          iters=0)
+        return res
+
+    x, n, code, res_buf, alpha_buf, rw = run(jnp.asarray(x0))
+    res = SolveResult(
+        x=np.asarray(x),
+        code=int(code),
+        iters=int(n),
+        res_norms=[float(v) for v in np.asarray(res_buf)
+                   if np.isfinite(v)],
+        damping={"name": "gna", "alphas": [
+            float(v) for v in np.asarray(alpha_buf) if np.isfinite(v)
+        ], "mu": mu, "alpha_min": alpha_min},
+        final_rw=np.asarray(rw),
+    )
+    res.trace = [np.asarray(x)]  # endpoint only (memory-light)
+    return res
+
+
+def _get_fused_run(ops, max_iter, conv_tol, abs_term, mu, alpha_min):
+    """The compiled device loop, cached per (ops, options): repeat
+    bundles on the same network (warm benchmark runs, covariance
+    re-adjustments) must not pay retrace+lowering again."""
+    key = (max_iter, float(conv_tol), bool(abs_term), float(mu),
+           float(alpha_min))
+    cache = getattr(ops, "_fused_runs", None)
+    if cache is None:
+        cache = ops._fused_runs = {}
+    if key in cache:
+        return cache[key]
+    run = _build_fused_run(ops, max_iter, conv_tol, abs_term, mu, alpha_min)
+    cache[key] = run
+    return run
+
+
+def _build_fused_run(ops, max_iter, conv_tol, abs_term, mu, alpha_min):
     dtype = ops.dtype
     tol = jnp.asarray(conv_tol, dtype)
 
@@ -52,7 +97,6 @@ def fused_gna(ops, x0, max_iter: int = 20, conv_tol: float = 1e-6,
         )
         return jnp.where(accepted, alpha, 0.0)
 
-    @jax.jit
     @with_highest_precision
     def run(x0):
         res_buf = jnp.full(max_iter + 2, jnp.nan, dtype)
@@ -74,17 +118,24 @@ def fused_gna(ops, x0, max_iter: int = 20, conv_tol: float = 1e-6,
             fp0 = g @ p
             alpha = jnp.where(term, 0.0, linesearch(x, p, f0, fp0))
             x_new = jnp.where(term, x, x + alpha * p)
-            alpha_buf = jnp.where(
-                term, alpha_buf, alpha_buf.at[n].set(alpha)
-            )
             fail_ls = (~term) & (alpha == 0.0)
-            over = (~term) & (n + 1 > max_iter)
+            # Converged-at-the-numerical-floor rule (see
+            # solvers.gauss_newton_armijo): a failed linesearch with
+            # ||Jp|| within FLOOR_FACTOR of the threshold terminates OK.
+            at_floor = fail_ls & jnp.where(
+                abs_term, rnorm <= FLOOR_FACTOR * tol,
+                jp_norm <= FLOOR_FACTOR * tol * rnorm)
+            n_new = (n + jnp.where(term, 0, 1)).astype(jnp.int32)
+            alpha_buf = jnp.where(
+                term | at_floor, alpha_buf, alpha_buf.at[n].set(alpha)
+            )
+            fail_ls = fail_ls & ~at_floor
+            over = (~term) & (~at_floor) & (n_new > max_iter)
             code = jnp.where(
                 fail_ls, LINESEARCH_FAILED,
                 jnp.where(over, TOO_MANY_ITERS, OK)
             ).astype(jnp.int32)
-            n_new = (n + jnp.where(term, 0, 1)).astype(jnp.int32)
-            return (x_new, n_new, code, term, res_buf, alpha_buf)
+            return (x_new, n_new, code, term | at_floor, res_buf, alpha_buf)
 
         state = (x0, jnp.asarray(0, jnp.int32), jnp.asarray(OK, jnp.int32),
                  jnp.asarray(False), res_buf, alpha_buf)
@@ -94,25 +145,7 @@ def fused_gna(ops, x0, max_iter: int = 20, conv_tol: float = 1e-6,
         rw = ops._weighted_residual(x)
         return x, n, code, res_buf, alpha_buf, rw
 
-    # Structural check stays on host (pattern-only, one-time).
-    if ops.structural_rank() < ops.n_x:
-        from .solvers import STRUCT_RANK_DEFICIENT
-
-        res = SolveResult(x=np.asarray(x0), code=STRUCT_RANK_DEFICIENT,
-                          iters=0)
-        return res
-
-    x, n, code, res_buf, alpha_buf, rw = run(jnp.asarray(x0))
-    res = SolveResult(
-        x=np.asarray(x),
-        code=int(code),
-        iters=int(n),
-        res_norms=[float(v) for v in np.asarray(res_buf)
-                   if np.isfinite(v)],
-        damping={"name": "gna", "alphas": [
-            float(v) for v in np.asarray(alpha_buf) if np.isfinite(v)
-        ], "mu": mu, "alpha_min": alpha_min},
-        final_rw=np.asarray(rw),
-    )
-    res.trace = [np.asarray(x)]  # endpoint only (memory-light)
-    return res
+    # Constant-hoisted jit: the static plans are passed as arguments,
+    # not baked into the HLO (see BundleOps.hoisted_jit) — at Hamburg
+    # scale this cuts the TPU compile from minutes to seconds.
+    return ops.hoisted_jit(run)

@@ -30,15 +30,27 @@ def _dense_solve(N, rhs, lam):
     """Jacobi-scaled Cholesky solve of (N + lam I) x = rhs.
 
     Column scaling mirrors gauss_newton_armijo.m:146-174; it changes
-    conditioning only, not the solution."""
+    conditioning only, not the solution. One step of iterative
+    refinement keeps the step accurate near convergence: at the
+    residual floor the raw factored solve carries O(kappa * eps) noise
+    that stalls ||Jp|| just above the termination threshold and makes
+    the final Armijo decrease (~1e-9 relative) rounding-luck — with
+    refinement the last GN steps are true descent directions and the
+    iteration counts match the reference reports deterministically."""
     Nd = N + lam * jnp.eye(N.shape[0], dtype=N.dtype)
     d = jnp.sqrt(jnp.diagonal(Nd))
     d = jnp.where(d > 0, d, 1.0)
     Dinv = 1.0 / d
     Ns = Nd * Dinv[:, None] * Dinv[None, :]
     L = jnp.linalg.cholesky(Ns)
-    y = jax.scipy.linalg.solve_triangular(L, Dinv * rhs, lower=True)
-    q = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    b = Dinv * rhs
+
+    def tri_solve(v):
+        y = jax.scipy.linalg.solve_triangular(L, v, lower=True)
+        return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+
+    q = tri_solve(b)
+    q = q + tri_solve(b - Ns @ q)
     return Dinv * q, L
 
 

@@ -48,6 +48,5 @@ def test_camcal_camera_constant(camcal_result):
 
 def test_camcal_iterations(camcal_result):
     result, ok, iters, sigma0, info = camcal_result
-    # Reference needs 9 GNA iterations; allow small slack for
-    # floating-point differences in the damping path.
-    assert iters <= 12
+    # Reference: exactly 9 GNA iterations (camcal-dbatreport.txt:41).
+    assert iters == 9
