@@ -1,17 +1,37 @@
-"""Benchmark: bundle-adjustment iteration throughput at Hamburg-2017 scale.
+"""Benchmark: bundle time-to-convergence + iteration throughput at
+stpierre-C5 (Hamburg 2017) scale.
 
-Reference baseline (BASELINE.md): DBAT runs the stpierrePS_C5 network
-(55,421 unknowns: 8 IO + 1,434*6 EO + 53,979*3... actually 17,993 OPs;
-394,165 observations) in 11.85 s for 2 bundle iterations on a single
-x86 CPU core => 0.1688 iterations/s.
+Reference baseline (BASELINE.md): DBAT's largest shipped network,
+stpierrePS_C5 — 239 images (1,434 EO params), 17,993 object points
+(53,979 OP params), 8 estimated IO params (cc px py K1 K2 K3 P1 P2,
+shared camera), 196,715 image-point measurements (393,430 IP residual
+rows) — runs 2 bundle iterations in 11.85 s on a single x86 CPU core
+=> 0.1688 iterations/s (stpierrePS_C5-dbatreport.txt:23-24,41,45).
 
-The mirror is missing the stpierre input files, so we benchmark on a
-synthetic network of the same shape (1,434 images, 54,000 points,
-~4 rays/point => ~432k image observations, ~8.6k camera unknowns,
-162k point unknowns) and measure full damped-GN iterations/s on the
-available TPU chip with the Schur reduced-camera backend in f32:
-one iteration = residual+Jacobian blocks, U/V/W assembly, S fill-in,
-reduced Cholesky solve, point back-substitution, line-search residual.
+The mirror is missing the C5.psz input, so we benchmark a synthetic
+network with the SAME shape honestly reproduced:
+  * 239 cameras / 17,993 points / 196,715 measurements;
+  * irregular ray counts (lognormal 3..40, mean ~10.9) so the uniform
+    packed-pair and gather-free fast paths CANNOT fire;
+  * 8 shared estimated IO parameters (self-calibration) so the
+    fixed-IO reduced-tangent and 6-wide windowed-scatter fast paths
+    CANNOT fire.
+
+What is timed is the SHIPPED solver: the device-resident fused
+Gauss-Newton-Armijo loop (dbat_tpu/solve/fused.py) on the Schur
+reduced-camera backend in f32-with-refinement — assembly, S fill-in,
+reduced Cholesky, point back-substitution, Armijo line search and
+termination all inside one jit.
+
+Reported:
+  * main metric: warm bundle iterations/s (fixed 10-iteration run);
+  * cold time-to-convergence (process start -> converged x, including
+    network generation, plan construction and jit/compile);
+  * warm time-to-convergence (plans + executables warm).
+
+A convergence gate zeroes the metric if the final weighted residual is
+not at the noise floor (silent numerical breakage must not inflate
+throughput).
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -23,69 +43,81 @@ import time
 sys.path.insert(0, "/root/repo")
 
 BASELINE_ITERS_PER_S = 2.0 / 11.85  # stpierrePS_C5-dbatreport.txt:41,45
+BASELINE_BUNDLE_S = 11.85
+
+T_START = time.time()
 
 
 def main():
+    import numpy as np
+
+    from dbat_tpu.config import enable_compile_cache
+
+    enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from dbat_tpu.core.serial import build_serial
     from dbat_tpu.pipeline.synthetic import make_ring_network, perturb
+    from dbat_tpu.solve.fused import fused_gna
     from dbat_tpu.solve.schur import SchurOps
 
     dtype = jnp.float32
 
     t0 = time.time()
     s = make_ring_network(
-        n_img=1434, n_pt=54000, rays_per_pt=4, n_ctrl=8,
-        noise_px=0.1, ip_std_px=0.1, seed=17,
+        n_img=239, n_pt=17993, rays_per_pt=(3, 40), n_obs_target=196715,
+        n_ctrl=8, noise_px=0.1, ip_std_px=0.1,
+        est_io_cols=("cc", "px", "py", "K1", "K2", "K3", "P1", "P2"),
+        seed=17,
     )
     perturb(s, eo_pos=0.02, eo_ang=0.004, op_pos=0.02, seed=18)
     spec = build_serial(s)
-    ops = SchurOps(s, spec, dtype=dtype, pair_chunk=65536)
+    ops = SchurOps(s, spec, dtype=dtype)
     x0 = ops.x0()
-    gen_time = time.time() - t0
+    setup_time = time.time() - t0
 
-    from dbat_tpu.solve.precision import with_highest_precision
-
-    def gn_iteration(x):
-        U, V, Wb, gc, gp, rw = ops._assemble_impl(x)
-        g = ops.join_x(gc, gp)
-        p, _L = ops._solve_impl(U, V, Wb, -g, jnp.asarray(0.0, dtype))
-        # One Armijo trial (the common case: full step accepted).
-        r1 = ops._weighted_residual(x + p)
-        ok = r1 @ r1 < rw @ rw
-        return jnp.where(ok, x + p, x + 0.5 * p), jnp.sqrt(rw @ rw)
-
-    step = jax.jit(with_highest_precision(gn_iteration))
-
-    t0 = time.time()
-    x, rn = step(x0)
-    jax.block_until_ready(x)
-    compile_time = time.time() - t0
-
-    # Timed iterations.
-    n_timed = 6
-    t0 = time.time()
-    for _ in range(n_timed):
-        x, rn = step(x)
-    jax.block_until_ready(x)
-    elapsed = time.time() - t0
-    iters_per_s = n_timed / elapsed
-
-    # Convergence sanity gate: after the warmup+timed steps the
-    # weighted residual must be near the noise floor sqrt(dof)
-    # (sigma0 ~ 1 by construction). Guards against silent numerical
-    # breakage inflating the throughput number.
-    rw = ops.weighted_residual(x)
-    rn_final = float(jnp.sqrt(rw @ rw))
-    dof = 2 * ops.n_obs - ops.n_x
+    # Time-to-convergence: terminate when the weighted residual reaches
+    # the synthetic noise floor sqrt(dof) (sigma0 == 1 by construction
+    # since noise_px == ip_std_px). This uses the solver's absolute
+    # criterion — the reference ships the same `absterm` option for
+    # exactly this kind of synthetic test (bundle.m:26-29). The f32
+    # relative-angle criterion at DBAT's 1e-6 cannot certify on TPU
+    # f32 (solve noise ~1e-3); the floor crossing is the honest,
+    # seed-robust convergence event.
+    dof = ops.n_res - ops.n_x
     floor = float(np.sqrt(dof))
-    converged = rn_final < 1.5 * floor
+
+    # --- Cold time-to-convergence (includes compile). -----------------
+    t0 = time.time()
+    res = fused_gna(ops, x0, max_iter=20, conv_tol=floor, abs_term=True)
+    cold_solve = time.time() - t0
+    cold_ttc = time.time() - T_START
+
+    # --- Warm time-to-convergence. ------------------------------------
+    t0 = time.time()
+    res_w = fused_gna(ops, x0, max_iter=20, conv_tol=floor, abs_term=True)
+    warm_ttc = time.time() - t0
+
+    # --- Throughput: fixed 10 damped iterations (no early exit). ------
+    n_fixed = 10
+    res_t = fused_gna(ops, x0, max_iter=n_fixed, conv_tol=0.0)  # compile
+    t0 = time.time()
+    res_t = fused_gna(ops, x0, max_iter=n_fixed, conv_tol=0.0)
+    fixed_time = time.time() - t0
+    iters_per_s = res_t.iters / fixed_time
+
+    # Convergence gate: the TTC run must hit the floor (OK status) and
+    # the long fixed run must stay there (no divergence/NaN).
+    rn_ttc = float(np.sqrt(res.final_rw @ res.final_rw))
+    rw = res_t.final_rw
+    rn_final = float(np.sqrt(rw @ rw))
+    sigma0 = rn_final / floor
+    converged = (res.code == 0) and (rn_ttc <= floor) and (sigma0 < 1.05)
 
     out = {
-        "metric": "hamburg_scale_bundle_iters_per_s",
+        "metric": "c5_scale_bundle_iters_per_s",
         "value": round(iters_per_s, 4) if converged else 0.0,
         "unit": "iters/s",
         "vs_baseline": round(iters_per_s / BASELINE_ITERS_PER_S, 2)
@@ -93,10 +125,19 @@ def main():
     }
     print(json.dumps(out))
     print(
-        f"# setup {gen_time:.1f}s, compile {compile_time:.1f}s, "
-        f"{n_timed} iters in {elapsed:.2f}s, final residual {rn_final:.4g} "
-        f"(noise floor {floor:.0f}, converged={converged}), "
-        f"n_x={ops.n_x}, n_obs={ops.n_obs}, device={jax.devices()[0]}",
+        f"# honest C5 shape: n_img={s.n_img}, n_pt={s.n_op}, "
+        f"n_obs={ops.n_obs}, n_x={ops.n_x}, irregular rays "
+        f"{np.bincount(s.obs_pt).min()}-{np.bincount(s.obs_pt).max()} "
+        f"(mean {ops.n_obs / s.n_op:.1f}), 8 est IO (self-cal)",
+        file=sys.stderr,
+    )
+    print(
+        f"# setup {setup_time:.1f}s | cold solve {cold_solve:.1f}s "
+        f"(cold TTC {cold_ttc:.1f}s incl. gen+plans+compile) | "
+        f"warm TTC {warm_ttc:.2f}s = {BASELINE_BUNDLE_S / warm_ttc:.1f}x "
+        f"DBAT bundle | {res.iters} iters to tol, sigma0 {sigma0:.4f} "
+        f"(converged={converged}) | {n_fixed} fixed iters in "
+        f"{fixed_time:.2f}s on {jax.devices()[0].platform}",
         file=sys.stderr,
     )
 
