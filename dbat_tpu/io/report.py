@@ -49,23 +49,45 @@ def write_report(project, info, path, damping="gna", conv_tol=1e-6,
     from ..solve.covariance import Covariance
     from ..solve.quality import (
         high_correlations,
+        high_eo_correlations,
+        high_io_correlations_cross,
         high_point_correlations,
         residual_stats,
         significance,
     )
 
     p = project
-    t_cov0 = time.time()
+    # Per-stage covariance timings (bundle_result_file.m:268-279 prints
+    # prep/CIO/CEO/COP separately).
+    t0 = time.time()
     cov = Covariance(p, info).factorize()
+    t_prep = time.time() - t0
+    t0 = time.time()
     cio = cov.cio()
+    try:
+        ciof, io_entries = cov.ciof()
+        corr_io_cross = high_io_correlations_cross(
+            ciof, io_entries, corr_threshold)
+    except Exception:
+        corr_io_cross = []
+    t_cio = time.time() - t0
+    t0 = time.time()
     ceo = cov.ceo()
+    corr_eo = high_eo_correlations(ceo, p.eo_block, corr_threshold)
+    t_ceo = time.time() - t0
+    t0 = time.time()
     cop = cov.cop()
+    t_cop = time.time() - t0
     std_io, std_eo, std_op = cov.posterior_std()
-    t_cov = time.time() - t_cov0
 
     sig = significance(p, info.spec, cio)
     corr_io = high_correlations(cio, corr_threshold)
     hi_op = high_point_correlations(cop, corr_threshold)
+    # Low-significance check (bundle_result_file.m:156-183): any
+    # estimated distortion/affine coefficient below sigThreshold.
+    sig_vals = np.concatenate(
+        [sig["K"].reshape(-1), sig["P"].reshape(-1), sig["B"].reshape(-1)])
+    low_sig = bool(np.any(sig_vals[np.isfinite(sig_vals)] < sig_threshold))
     rstats = residual_stats(p)
     angles = point_angles(p)
     rays = ray_counts(p)
@@ -98,30 +120,79 @@ def write_report(project, info, path, damping="gna", conv_tol=1e-6,
     if ws is None:
         add("         Structural rank: ok.")
     else:
-        sus = np.asarray(ws["suspected_params"])
-        if info.param_types:
-            sus = [info.param_types[k] for k in sus]
-        add(f"         Structural rank: deficiency {ws['deficiency']}; "
-            f"suspected parameters: {list(sus)}")
-    add("         Numerical rank: "
-        + ("ok." if wn is None else f"deficiency {wn.get('deficiency')}"))
+        add(f"         Structural rank: {ws['rank']} "
+            f"(deficiency: {ws['deficiency']})")
+        add("            DMPERM suggests the following parameters "
+            "have problems:")
+        for k in np.asarray(ws["suspected_params"]):
+            nm = info.param_types[k] if info.param_types else str(k)
+            add(f"               {nm}")
+    if wn is None or not wn.get("deficiency"):
+        add("         Numerical rank: ok.")
+    elif not np.isfinite(wn.get("rank", np.nan)):
+        add("         Numerical rank: not tested.")
+    else:
+        add(f"         Numerical rank: {wn['rank']} "
+            f"(deficiency: {wn['deficiency']})")
+        add("            Null-space suggest the following parameters "
+            "are part of the problem:")
+        for vi, sp in enumerate(wn.get("suspected_params", [])):
+            add(f"               Vector {vi+1} (eigenvalue {sp['eig']:g}):")
+            for k, v in zip(sp["indices"], sp["values"]):
+                nm = info.param_types[k] if info.param_types else str(k)
+                add(f"                  ({nm}, {v:.3g})")
     problems = []
+    suggestions = []
     if info.code != 0:
         problems.append(
             f"Bundle failed with code {info.code} (see below for details)."
         )
-    if corr_io:
+    if corr_io or corr_io_cross:
         problems.append(
             "One or more of the camera parameter has a high correlation "
             "(see below)."
         )
+        suggestions.append(
+            "Consider fixing or constraining the correlated camera "
+            "parameters, or adding oblique/rolled images to decorrelate "
+            "them."
+        )
+    if corr_eo:
+        problems.append(
+            "One or more of the camera station parameters has a high "
+            "correlation (see below)."
+        )
+        suggestions.append(
+            "High station correlations usually indicate a weak network "
+            "geometry; consider more convergent imagery or prior EO "
+            "observations."
+        )
     if len(hi_op):
         problems.append(
-            f"{len(hi_op)} object points have high coordinate correlations."
+            "One or more of the object point coordinates has a high "
+            "correlation."
+        )
+        suggestions.append(
+            "Points with highly correlated coordinates have few or "
+            "narrow-angle rays; consider a ray-count/angle filter "
+            "(check_ray_count / angle filtering)."
+        )
+    if low_sig:
+        problems.append(
+            "One or more estimated lens and/or affine distortion "
+            "coefficients failed significance test (see below)."
+        )
+        suggestions.append(
+            "Consider fixing insignificant distortion coefficients at "
+            "zero (set_bundle_estimate_params)."
         )
     add(f"      Problems related to the processing: ({len(problems)})")
     for s in problems:
         add(f"         {s}")
+    if suggestions:
+        add("      Suggestions:")
+        for s in suggestions:
+            add(f"         {s}")
 
     # Bundle info (bundle_result_file.m:185-256).
     from .. import __version__
@@ -165,7 +236,10 @@ def write_report(project, info, path, damping="gna", conv_tol=1e-6,
         add(f"         Last error:           {info.res_norms[-1]:.6g}")
     add("      Execution times (s):")
     add(f"         Bundle:        {info.time:.2f}")
-    add(f"         Post-cov:      {t_cov:.2f}")
+    add(f"         Post-cov prep: {t_prep:.2f}")
+    add(f"         Post-cov CIO:  {t_cio:.2f}")
+    add(f"         Post-cov CEO:  {t_ceo:.2f}")
+    add(f"         Post-cov COP:  {t_cop:.2f}")
 
     add("      Lens distortion models:")
     model = p.dist_model
@@ -181,6 +255,13 @@ def write_report(project, info, path, damping="gna", conv_tol=1e-6,
     ]
     cal_params = " ".join(n for n, e in zip(names, est_any) if e)
     add(f"         Calibration: {'yes (' + cal_params + ')' if est_any.any() else 'no'}")
+    cross = [(a, b, v) for (a, b, v) in corr_io_cross if a[0] != b[0]]
+    if cross:
+        add(f"         Cross-camera correlations over "
+            f"{corr_threshold*100:g}%:")
+        for (ia, ca), (ib, cb), v in cross:
+            add(f"            Camera{ia+1}.{names[ca]} - "
+                f"Camera{ib+1}.{names[cb]}: {v*100:.1f}%")
     lead = info.spec.io_leading.any(axis=1)
     cam_nos = np.flatnonzero(lead) if lead.any() else [0]
     for ci, j in enumerate(cam_nos):
@@ -241,7 +322,13 @@ def write_report(project, info, path, damping="gna", conv_tol=1e-6,
         add(f"            Pixel size:")
         add(f"               Value:        {p.sensor_px_size[j,0]:.6g} mm")
 
-    # Precisions (bundle_result_file.m:461-514).
+    # Precisions (bundle_result_file.m:461-514), with per-photo EO
+    # correlation warnings (:483-509).
+    eo_names = ["Xc", "Yc", "Zc", "Omega", "Phi", "Kappa"]
+    eo_corr_of = {}
+    for (k, a, b, v) in corr_eo:
+        eo_corr_of.setdefault((k, a), []).append((b, v))
+        eo_corr_of.setdefault((k, b), []).append((a, v))
     add("      Precisions / Standard Deviations:")
     add("         Photograph Standard Deviations:")
     deg = 180 / np.pi
@@ -256,6 +343,12 @@ def write_report(project, info, path, damping="gna", conv_tol=1e-6,
             add(f"                  Value:     {p.eo[i,k]*scale:.6f} {unit}")
             if np.isfinite(std_eo[i, k]):
                 add(f"                  Deviation: {std_eo[i,k]*scale:.3g} {unit}")
+            others = eo_corr_of.get((i, k))
+            if others:
+                ss = ", ".join(f"{eo_names[b]}:{v*100:.1f}%"
+                               for b, v in others)
+                add(f"                  Correlations over "
+                    f"{corr_threshold*100:g}%: {ss}.")
 
     # Quality (bundle_result_file.m:515-965).
     add("   Quality")
@@ -406,6 +499,9 @@ def write_report(project, info, path, damping="gna", conv_tol=1e-6,
 
     return {
         "cov": cov, "sig": sig, "corr_io": corr_io,
+        "corr_io_cross": corr_io_cross, "corr_eo": corr_eo,
         "rstats": rstats, "angles": angles, "rays": rays,
         "std_io": std_io, "std_eo": std_eo, "std_op": std_op,
+        "cov_times": {"prep": t_prep, "cio": t_cio, "ceo": t_ceo,
+                      "cop": t_cop},
     }

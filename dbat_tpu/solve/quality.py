@@ -37,6 +37,45 @@ def high_correlations(blocks: np.ndarray, thres: float = 0.95):
     return out
 
 
+def high_eo_correlations(ceo: np.ndarray, eo_block: np.ndarray,
+                         thres: float = 0.95):
+    """Intra-station EO correlation pairs above threshold
+    (ref code/bundle/private/high_eo_correlations.m:1-30, cross=false):
+    list of (photo k, i, j, corr) with i > j in 0..5, restricted to
+    unique EO blocks (block-shared stations report once, like the
+    reference's `unique(s.EO.struct.block','rows')` filter)."""
+    _, lead = np.unique(np.asarray(eo_block), axis=0, return_index=True)
+    keep = np.zeros(len(ceo), bool)
+    keep[lead] = True
+    out = []
+    for k, C in enumerate(ceo):
+        if not keep[k]:
+            continue
+        R = corr_from_cov(C)
+        for i in range(6):
+            for j in range(i):
+                if abs(R[i, j]) > thres:
+                    out.append((k, i, j, R[i, j]))
+    return out
+
+
+def high_io_correlations_cross(ciof: np.ndarray, entries: np.ndarray,
+                               thres: float = 0.95):
+    """Cross-camera IO correlation pairs above threshold
+    (high_io_correlations.m cross=true on CIOF): list of
+    ((img_i, col_i), (img_j, col_j), corr) over *leading* estimated IO
+    entries (`entries` as returned by Covariance.ciof); block-shared
+    duplicates are already excluded by the leading restriction."""
+    R = corr_from_cov(ciof)
+    n = R.shape[0]
+    out = []
+    for i in range(n):
+        for j in range(i):
+            if abs(R[i, j]) > thres:
+                out.append((tuple(entries[i]), tuple(entries[j]), R[i, j]))
+    return out
+
+
 def high_point_correlations(cop: np.ndarray, thres: float = 0.95):
     """Count of points whose 3x3 covariance has |corr|>thres
     (ref high_op_correlations.m)."""
