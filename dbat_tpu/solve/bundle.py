@@ -122,13 +122,19 @@ def bundle(
     if backend == "auto":
         # Dense N is exact and fastest while n_x^2 stays small; the
         # Schur reduced camera system wins beyond that.
-        backend = "dense" if spec.n_x <= 2000 else "schur"
-    if backend == "dense":
-        ops = BundleOps(project, spec, dtype=dtype, mesh=mesh)
+        backend = "dense" if spec.n_x <= 2000 and mesh is None else "schur"
+    if mesh is not None:
+        # Point-partitioned shard_map backend: local plans + psum'd
+        # camera system (parallel/sharded.py).
+        from ..parallel.sharded import ShardedSchurOps
+
+        ops = ShardedSchurOps(project, spec, mesh=mesh, dtype=dtype)
+    elif backend == "dense":
+        ops = BundleOps(project, spec, dtype=dtype)
     elif backend == "schur":
         from .schur import SchurOps
 
-        ops = SchurOps(project, spec, dtype=dtype, mesh=mesh)
+        ops = SchurOps(project, spec, dtype=dtype)
     else:
         raise ValueError(f"Unknown backend {backend!r}")
     x0 = ops.x0()
@@ -233,17 +239,23 @@ def bundle(
         extra = int((~project.est_op[vis_pt]).sum()) + int(
             (~project.est_eo[vis_img][:, :6]).sum()
         )
-    dof = len(rw) + extra - ops.n_x if rw is not None else 0
+    # Padded (sharded) residual vectors carry zero rows: count via the
+    # true observation count, not len(rw).
+    dof = ops.n_res + extra - ops.n_x if rw is not None else 0
     sigma0 = float(np.sqrt(rw @ rw / dof)) if rw is not None and dof > 0 else np.nan
 
     info.sigma0 = sigma0
-    info.num_obs = len(rw) if rw is not None else 0
+    info.num_obs = ops.n_res if rw is not None else 0
     info.num_params = ops.n_x
     info.redundancy = dof
     info.sigmas = sigma0 * np.asarray(project.ip_sigmas)
 
     # Posterior residual scatter-back (bundle.m:448-462), in px for IP.
     r_unw = np.asarray(ops.residuals(x))
+    if hasattr(ops, "unshard_obs_rows"):
+        n_pad2 = r_unw.shape[0] - (ops.n_res - 2 * ops.n_obs)
+        ip_res_mm = ops.unshard_obs_rows(r_unw[:n_pad2].reshape(-1, 2))
+        r_unw = np.concatenate([ip_res_mm.reshape(-1), r_unw[n_pad2:]])
     n2 = 2 * ops.n_obs
     ip_res_mm = r_unw[:n2].reshape(-1, 2)
     px = np.asarray(ops.px_obs)

@@ -1,4 +1,11 @@
-"""Multi-device sharded bundle on the 8-device virtual CPU mesh."""
+"""Multi-device sharded bundle on the 8-device virtual CPU mesh.
+
+Covers both mesh backends:
+  * ShardedSchurOps (parallel/sharded.py) — the shard_map path with
+    local plans that bundle() uses when mesh= is given;
+  * SchurOps(mesh=...) — the legacy GSPMD path kept for the
+    matrix-free PCG tier (see test_pcg.py).
+"""
 
 import jax
 import numpy as np
@@ -6,6 +13,7 @@ import pytest
 
 from dbat_tpu.core.serial import build_serial
 from dbat_tpu.parallel.mesh import make_mesh
+from dbat_tpu.parallel.sharded import ShardedSchurOps
 from dbat_tpu.pipeline.synthetic import make_ring_network, perturb
 from dbat_tpu.solve.schur import SchurOps
 
@@ -15,6 +23,32 @@ def test_eight_devices_available():
 
 
 def test_sharded_schur_matches_unsharded():
+    # Irregular rays + self-cal IO: none of the uniform fast paths fire.
+    s = make_ring_network(n_img=12, n_pt=64, rays_per_pt=(3, 8),
+                          n_obs_target=320, n_ctrl=4, noise_px=0.05,
+                          est_io_cols=("cc", "px", "py"), seed=7)
+    spec = build_serial(s)
+    mesh = make_mesh()
+    ops0 = SchurOps(s, spec)
+    ops1 = ShardedSchurOps(s, spec, mesh=mesh)
+    x0 = ops0.x0()
+
+    st0 = ops0.normal(x0)
+    st1 = ops1.normal(x0)
+    np.testing.assert_allclose(np.asarray(st1.g), np.asarray(st0.g),
+                               rtol=1e-10, atol=1e-10)
+    p0, f0 = st0.solve(-st0.g)
+    p1, f1 = st1.solve(-st1.g)
+    assert not f0 and not f1
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p0),
+                               rtol=1e-7, atol=1e-10)
+    mv0 = st0.matvec(p0)
+    mv1 = st1.matvec(p0)
+    np.testing.assert_allclose(np.asarray(mv1), np.asarray(mv0),
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_gspmd_schur_matches_unsharded():
     s = make_ring_network(n_img=12, n_pt=64, rays_per_pt=4, noise_px=0.05,
                           seed=7)
     spec = build_serial(s)
@@ -34,16 +68,52 @@ def test_sharded_schur_matches_unsharded():
                                rtol=1e-7, atol=1e-10)
 
 
-def test_sharded_full_bundle():
+def test_sharded_full_bundle_matches_single_device():
+    """Full fused bundle to the noise floor on 8 devices; sigma0 and
+    the converged parameters must match the 1-device solve."""
     from dbat_tpu.solve.bundle import bundle
 
-    s = make_ring_network(n_img=12, n_pt=64, rays_per_pt=4, seed=11)
-    truth_op = s.op.copy()
-    perturb(s, eo_pos=0.02, eo_ang=0.005, op_pos=0.02)
+    def net():
+        s = make_ring_network(n_img=12, n_pt=96, rays_per_pt=(3, 8),
+                              n_obs_target=500, n_ctrl=4, noise_px=0.05,
+                              est_io_cols=("cc",), seed=11)
+        perturb(s, eo_pos=0.02, eo_ang=0.005, op_pos=0.02)
+        return s
+
+    s1 = net()
+    r1, ok1, it1, sig1, _ = bundle(s1, damping="gna", backend="schur")
+    assert ok1
+
+    s8 = net()
     mesh = make_mesh()
-    result, ok, iters, sigma0, info = bundle(
-        s, damping="gna", abs_term=True, conv_tol=1e-8,
-        backend="schur", mesh=mesh,
-    )
-    assert ok
-    np.testing.assert_allclose(result.op, truth_op, atol=1e-6)
+    r8, ok8, it8, sig8, _ = bundle(s8, damping="gna", mesh=mesh)
+    assert ok8
+    assert sig8 == pytest.approx(sig1, rel=1e-9)
+    np.testing.assert_allclose(r8.op, r1.op, atol=1e-8)
+    np.testing.assert_allclose(r8.eo, r1.eo, atol=1e-8)
+    np.testing.assert_allclose(r8.io, r1.io, atol=1e-8)
+    # Posterior residual scatter-back must be de-padded and in the
+    # original observation order.
+    np.testing.assert_allclose(r8.post["ip_res_px"], r1.post["ip_res_px"],
+                               atol=1e-8)
+
+
+def test_sharded_fused_bundle():
+    """Device-resident fused GNA over the mesh (the bench path)."""
+    import jax.numpy as jnp
+
+    from dbat_tpu.parallel.sharded import ShardedSchurOps
+    from dbat_tpu.solve.fused import fused_gna
+
+    s = make_ring_network(n_img=12, n_pt=96, rays_per_pt=(3, 8),
+                          n_obs_target=500, n_ctrl=4, noise_px=0.05,
+                          est_io_cols=("cc",), seed=13)
+    perturb(s, eo_pos=0.02, eo_ang=0.005, op_pos=0.02)
+    spec = build_serial(s)
+    ops = ShardedSchurOps(s, spec, mesh=make_mesh(), dtype=jnp.float64)
+    dof = ops.n_res - ops.n_x
+    res = fused_gna(ops, ops.x0(), max_iter=20,
+                    conv_tol=float(np.sqrt(dof)), abs_term=True)
+    assert res.code == 0
+    rn = float(np.sqrt(res.final_rw @ res.final_rw))
+    assert rn <= np.sqrt(dof)
