@@ -34,7 +34,9 @@ def camcal(damping: str = "gna", data_dir: str = None, trace: bool = False,
     from ..solve.bundle import bundle
 
     if dtype is None:
-        dtype = jnp.float64
+        from ..config import default_dtype
+
+        dtype = default_dtype()  # f64 on CPU, f32+refinement on TPU
     data_dir = data_dir or osp.join(REFERENCE_DATA, "dbat")
 
     prob = load_pm(osp.join(data_dir, "pmexports", "camcal-pmexport.txt"))
@@ -59,6 +61,10 @@ def camcal(damping: str = "gna", data_dir: str = None, trace: bool = False,
     forward_intersect(s, "all", skip_prior=True)
     s.x0desc = "Camera calibration from EXIF value"
 
+    if dtype is None:
+        from ..config import default_dtype
+
+        dtype = default_dtype()
     result, ok, iters, sigma0, info = bundle(
         s, damping=damping, trace=trace, dtype=dtype
     )
@@ -118,7 +124,7 @@ def camcal_error_demo(which: str, damping: str = "gna"):
 
 
 def prague_sxb(label: str = "s2", orient: bool = False, damping: str = "gna",
-               trace: bool = False):
+               trace: bool = False, dtype=None):
     """Prague 2016 sxb aerial experiments (ref code/demo/prague2016_pm.m).
 
     label: 's1' fixed CPs (f-op0), 's2' weighted CPs (w-op0),
@@ -172,8 +178,12 @@ def prague_sxb(label: str = "s2", orient: bool = False, damping: str = "gna",
         raise RuntimeError("Resection failed")
     forward_intersect(s, "all", skip_prior=True)
 
+    if dtype is None:
+        from ..config import default_dtype
+
+        dtype = default_dtype()
     result, ok, iters, sigma0, info = bundle(
-        s, damping=damping, trace=trace, dtype=jnp.float64
+        s, damping=damping, trace=trace, dtype=dtype
     )
     return result, ok, iters, sigma0, info
 
@@ -181,7 +191,7 @@ def prague_sxb(label: str = "s2", orient: bool = False, damping: str = "gna",
 def ps_postproc(file_name: str = None, use_semilocal: bool = False,
                 min_rays: int = 0, min_angle: float = 0.0,
                 damping: str = "gna", trace: bool = False, backend="auto",
-                stats_dir: str = None):
+                stats_dir: str = None, dtype=None):
     """Re-adjust a PhotoScan/Metashape .psz project
     (ref code/demo/ps_postproc.m).
 
@@ -256,14 +266,18 @@ def ps_postproc(file_name: str = None, use_semilocal: bool = False,
             if g["p"][i] or o["p"][i]:
                 s.set_cam_est(f"P{i+1}")
 
+    if dtype is None:
+        from ..config import default_dtype
+
+        dtype = default_dtype()
     result, ok, iters, sigma0, info = bundle(
-        s, damping=damping, trace=trace, dtype=jnp.float64, backend=backend
+        s, damping=damping, trace=trace, dtype=dtype, backend=backend
     )
     return result, ok, iters, sigma0, info
 
 
 def sxb_prior_eo(use_prior_eo: bool = True, damping: str = "gna",
-                 trace: bool = False):
+                 trace: bool = False, dtype=None):
     """Prior-EO observation demo (ref code/demo/sxb_prior_eo.m).
 
     wsmart-with-orient network with weighted CPs; optionally adds prior
@@ -311,7 +325,11 @@ def sxb_prior_eo(use_prior_eo: bool = True, damping: str = "gna",
         raise RuntimeError("Resection failed")
     forward_intersect(s, "all", skip_prior=True)
 
+    if dtype is None:
+        from ..config import default_dtype
+
+        dtype = default_dtype()
     result, ok, iters, sigma0, info = bundle(
-        s, damping=damping, trace=trace, dtype=jnp.float64
+        s, damping=damping, trace=trace, dtype=dtype
     )
     return result, ok, iters, sigma0, info
