@@ -18,7 +18,8 @@ Reads the same format as the reference's code/file/loadpm.m into a
   blank-terminated control point list  [id x y z sx sy sz]
   blank-terminated object point list   [id x y z sx sy sz]
   blank-terminated mark point list     [photo id x y sx sy]
-  (optional features / feature-visibility blocks, ignored)
+  (optional features / feature-visibility blocks, parsed with
+   skip_features=False)
 """
 
 from __future__ import annotations
@@ -58,14 +59,20 @@ class PmProject:
     mark_pts: np.ndarray = None  # (n,6) [photo,id,x,y,sx,sy]
     prior_cam_pos: np.ndarray = None  # (n,7) [id,x,y,z,sx,sy,sz] or None
     op_labels_by_id: dict = None  # optional {id: label}
+    features: dict = None  # {feature_id: point-id array} (loadpm.m:335-353)
+    feat_vis: np.ndarray = None  # (n,2) [photo, feature] (loadpm.m:357-375)
 
 
 def _numbers(s: str) -> np.ndarray:
     return np.array([float(t) for t in s.split()], dtype=np.float64)
 
 
-def load_pm(path: str, im_size=None) -> PmProject:
-    """Parse a PhotoModeler export file (ref code/file/loadpm.m)."""
+def load_pm(path: str, im_size=None, skip_features: bool = True) -> PmProject:
+    """Parse a PhotoModeler export file (ref code/file/loadpm.m).
+
+    skip_features=False also parses the optional trailing feature /
+    feature-visibility blocks (loadpm.m:335-375; the reference's
+    ...=LOADPM(...,FALSE) mode)."""
     with open(path, "rt") as fh:
         lines = fh.read().splitlines()
     it = iter(lines)
@@ -135,6 +142,35 @@ def load_pm(path: str, im_size=None) -> PmProject:
     obj_pts = read_table(7)
     mark_pts = read_table(6)
 
+    # Optional trailing feature blocks (loadpm.m:335-375): each feature
+    # line is [feature_id, n_pts, pt_id...]; the visibility block lists
+    # [photo, feature] pairs.
+    features = {}
+    feat_vis = np.zeros((0, 2), dtype=np.int64)
+    if not skip_features:
+        while True:
+            try:
+                s = next(it)
+            except StopIteration:
+                break
+            v = _numbers(s)
+            if v.size == 0:
+                break
+            fid, npts = int(v[0]), int(v[1])
+            features[fid] = v[2:2 + npts].astype(np.int64)
+        vis_rows = []
+        while True:
+            try:
+                s = next(it)
+            except StopIteration:
+                break
+            v = _numbers(s)
+            if v.size == 0:
+                break
+            vis_rows.append(v[:2].astype(np.int64))
+        if vis_rows:
+            feat_vis = np.vstack(vis_rows)
+
     # Smart-point renumbering (loadpm.m:384-410): PM "smart" points have
     # zero mark std and restart id numbering; shift them above the
     # normal ids when both kinds are present and obj ids are not
@@ -175,4 +211,6 @@ def load_pm(path: str, im_size=None) -> PmProject:
         check_pts=np.zeros((0, 7)),
         obj_pts=obj_pts,
         mark_pts=mark_pts,
+        features=features,
+        feat_vis=feat_vis,
     )
