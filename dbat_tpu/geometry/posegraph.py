@@ -1,0 +1,238 @@
+"""Pose-graph initialization for large networks without control points.
+
+The reference initializes networks camera-by-camera with 3-point
+resection against known object points (code/photogrammetry/resect.m) —
+which requires control points or prior OP values.  This layer builds
+initial EO/OP values from image measurements alone:
+
+  1. view graph: a relative orientation (5-point essential RANSAC,
+     essential.py; ref essmat5.m/camsfrome.m) per camera pair with
+     enough shared points;
+  2. global rotation averaging: spanning-tree chaining + chordal
+     (projected-mean) sweeps [Hartley, Trumpf, Dai, Li IJCV 2013];
+  3. global translation recovery: the cross-product linear system
+     [t_ij]_x R_j (C_i - C_j) = 0 over all edges, smallest singular
+     vector with the gauge fixed by C_0 = 0 and unit RMS baseline
+     [Govindu CVPR 2001];
+  4. point initialization by multi-ray forward intersection
+     (initvals.forward_intersect; ref forwintersect.m) and, when
+     control points exist, a similarity alignment onto them
+     (align.rigid_align; ref pm_multialign.m).
+
+Everything is one-time host-side numpy (like resection); the heavy
+iteration stays in the TPU bundle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .essential import cams_from_e, essential_ransac
+from .initvals import forward_intersect, undistort_obs
+from ..models.rotation import decompose_w2c, world_to_cam_matrix
+
+
+def _normalized_obs(project):
+    """Normalized camera-ray coordinates u = [(xy-pp)/-f, 1] per
+    observation (the camera-frame ray direction; see
+    initvals.forward_intersect)."""
+    p = project
+    xy = undistort_obs(p)
+    io = p.io[p.obs_img]
+    f = io[:, 0:1]
+    pp = io[:, 1:3]
+    un = (xy - pp) / -f
+    return np.concatenate([un, np.ones((len(un), 1))], axis=1)
+
+
+def build_view_graph(project, min_shared: int = 12, ransac_iters: int = 100,
+                     threshold: float = 2e-3, max_pairs_per_cam: int = 8,
+                     rng=None):
+    """Pairwise relative orientations over the measurement graph.
+
+    Returns a list of edges (i, j, R_ij, t_ij, n_inliers) with
+    R_ij = R_j R_i^T and t_ij ~ R_j (C_i - C_j) (unit, sign fixed by
+    chirality voting).  Camera pairs are ranked by shared-point count
+    and each camera keeps at most `max_pairs_per_cam` strongest edges —
+    the graph stays O(n) while staying connected for ring/strip
+    networks.
+    """
+    p = project
+    rng = rng or np.random.default_rng(0)
+    u = _normalized_obs(p)
+
+    # Shared-point counts per camera pair via the per-point obs lists.
+    order = np.argsort(p.obs_pt, kind="stable")
+    pt_sorted = p.obs_pt[order]
+    starts = np.flatnonzero(np.diff(pt_sorted, prepend=-1))
+    counts = np.diff(np.append(starts, len(pt_sorted)))
+    pair_obs: dict = {}
+    for s, c in zip(starts, counts):
+        grp = order[s:s + c]
+        cams = p.obs_img[grp]
+        o2 = grp[np.argsort(cams)]
+        cams = np.sort(cams)
+        for a in range(len(o2)):
+            for b in range(a + 1, len(o2)):
+                pair_obs.setdefault((cams[a], cams[b]), []).append(
+                    (o2[a], o2[b]))
+
+    cand = [(len(v), ij, v) for ij, v in pair_obs.items()
+            if len(v) >= min_shared]
+    cand.sort(key=lambda t: -t[0])
+    deg = np.zeros(p.n_img, dtype=int)
+    edges = []
+    for n_sh, (i, j), ov in cand:
+        if deg[i] >= max_pairs_per_cam and deg[j] >= max_pairs_per_cam:
+            continue
+        ov = np.asarray(ov)
+        x1 = u[ov[:, 0]].T  # camera i
+        x2 = u[ov[:, 1]].T  # camera j
+        E, inl = essential_ransac(x1, x2, threshold=threshold,
+                                  iters=ransac_iters, rng=rng)
+        if E is None or inl.sum() < min_shared:
+            continue
+        best, _ = cams_from_e(E, x1[:, inl], x2[:, inl])
+        if best is None:
+            continue
+        R, t = best
+        nt = np.linalg.norm(t)
+        if nt == 0:
+            continue
+        edges.append((int(i), int(j), R, t / nt, int(inl.sum())))
+        deg[i] += 1
+        deg[j] += 1
+    return edges
+
+
+def _project_so3(M):
+    U, _, Vt = np.linalg.svd(M)
+    R = U @ Vt
+    if np.linalg.det(R) < 0:
+        R = U @ np.diag([1.0, 1.0, -1.0]) @ Vt
+    return R
+
+
+def average_rotations(n_img: int, edges, sweeps: int = 30):
+    """Global rotations from pairwise R_ij = R_j R_i^T.
+
+    Spanning-tree initialization followed by chordal-mean sweeps: each
+    camera is re-estimated as the SO(3) projection of the
+    inlier-weighted mean of its neighbors' predictions.  R_0 = I fixes
+    the gauge."""
+    # nbrs[a] holds (b, Rrel, w) with R_b = Rrel @ R_a, so the
+    # prediction of R_a from neighbor b is Rrel^T @ R_b.
+    nbrs: dict = {i: [] for i in range(n_img)}
+    for (i, j, R, _t, w) in edges:
+        nbrs[i].append((j, R, w))
+        nbrs[j].append((i, R.T, w))
+
+    Rg = [None] * n_img
+    Rg[0] = np.eye(3)
+    queue = [0]
+    while queue:
+        a = queue.pop(0)
+        for (b, Rrel, _w) in nbrs[a]:
+            if Rg[b] is None:
+                Rg[b] = Rrel @ Rg[a]
+                queue.append(b)
+    placed = sum(R is not None for R in Rg)
+    if placed < n_img:
+        raise ValueError(
+            f"view graph disconnected: {n_img - placed} cameras "
+            "unreachable from camera 0")
+
+    for _ in range(sweeps):
+        for a in range(1, n_img):
+            M = np.zeros((3, 3))
+            for (b, Rrel, w) in nbrs[a]:
+                M += w * (Rrel.T @ Rg[b])
+            if np.linalg.norm(M) > 0:
+                Rg[a] = _project_so3(M)
+    return np.stack(Rg)
+
+
+def _cross_mat(t):
+    return np.array([[0, -t[2], t[1]], [t[2], 0, -t[0]],
+                     [-t[1], t[0], 0.0]])
+
+
+def recover_centers(n_img: int, edges, Rg):
+    """Camera centers from translation directions t_ij ~ R_j(C_i - C_j).
+
+    Minimizes sum ||[t_ij]_x R_j (C_i - C_j)||^2 with C_0 = 0, over the
+    unit sphere (smallest right singular vector); returns centers up to
+    a global scale whose sign is later fixed by chirality."""
+    m = len(edges)
+    A = np.zeros((3 * m, 3 * (n_img - 1)))
+    for k, (i, j, _R, t, w) in enumerate(edges):
+        B = np.sqrt(w) * (_cross_mat(t) @ Rg[j])
+        if i != 0:
+            A[3 * k:3 * k + 3, 3 * (i - 1):3 * i] = B
+        if j != 0:
+            A[3 * k:3 * k + 3, 3 * (j - 1):3 * j] = -B
+    _, _, Vt = np.linalg.svd(A, full_matrices=False)
+    C = np.zeros((n_img, 3))
+    C[1:] = Vt[-1].reshape(-1, 3)
+    rms = np.sqrt((C ** 2).sum(axis=1).mean())
+    return C / max(rms, 1e-300)
+
+
+def init_from_pose_graph(project, min_shared: int = 12,
+                         ransac_iters: int = 100, threshold: float = 2e-3,
+                         max_pairs_per_cam: int = 8, sweeps: int = 30,
+                         rng=None):
+    """Initialize project.eo and project.op from measurements alone.
+
+    Returns a dict with the view-graph edges and diagnostics.  When the
+    project carries control points (prior_op), the free-gauge network
+    is similarity-aligned onto them; otherwise it is left in the
+    pose-graph gauge (C_0 = 0, unit RMS baseline) — exactly what a
+    free-network bundle with inner constraints expects."""
+    p = project
+    edges = build_view_graph(p, min_shared=min_shared,
+                             ransac_iters=ransac_iters, threshold=threshold,
+                             max_pairs_per_cam=max_pairs_per_cam, rng=rng)
+    if not edges:
+        raise ValueError("no view-graph edges (too few shared points?)")
+    Rg = average_rotations(p.n_img, edges, sweeps=sweeps)
+    C = recover_centers(p.n_img, edges, Rg)
+
+    # Write EO (angles via the project's w2c convention), then
+    # triangulate; chirality vote fixes the global scale sign.
+    for sign in (1.0, -1.0):
+        p.eo[:, 0:3] = sign * C
+        for i in range(p.n_img):
+            p.eo[i, 3:6] = decompose_w2c(Rg[i])
+        ids, _res = forward_intersect(p, ids="all", skip_prior=False)
+        depths = _point_depths(p)
+        if np.median(depths) > 0:
+            break
+
+    n_behind = int((depths <= 0).sum())
+
+    # Align onto control points when available.
+    aligned = False
+    use = getattr(p, "prior_op_use", None)
+    if use is not None and use.any():
+        from .align import rigid_align, transform_network
+
+        full = use.all(axis=1) & np.isfinite(p.prior_op).all(axis=1)
+        idx = np.flatnonzero(full)
+        if len(idx) >= 3:
+            T = rigid_align(p.op[idx], p.prior_op[idx], scale=True)
+            transform_network(p, T)
+            aligned = True
+
+    return {"edges": [(i, j, w) for (i, j, _R, _t, w) in edges],
+            "n_edges": len(edges), "behind": n_behind,
+            "aligned_to_ctrl": aligned}
+
+
+def _point_depths(project):
+    """Depth (camera-frame z) of every observation's object point."""
+    p = project
+    R = np.stack([world_to_cam_matrix(p.eo[i, 3:6]) for i in range(p.n_img)])
+    Xc = np.einsum(
+        "nab,nb->na", R[p.obs_img], p.op[p.obs_pt] - p.eo[p.obs_img, 0:3])
+    return Xc[:, 2]

@@ -52,10 +52,45 @@ class FlatBilinear:
         selR[terms[:, 1], np.arange(T)] = 1.0
         self.selL = jnp.asarray(selL)
         self.selR = jnp.asarray(selR)
+        self._sel_np = (selL, selR)
         self.d_out = d_out
         self.g = g
+        #: False = XLA path, True = Pallas TPU kernel, "interpret" =
+        #: Pallas interpreter (CPU tests). Set by the backend owner.
+        self.use_pallas = False
+        self.selL_slot = self.selR_slot = None
+
+    def build_slot_sels(self):
+        """Materialize the slot-major selects (direct attributes so the
+        const-hoisting jit passes them as arguments).  Must run OUTSIDE
+        any trace — call when enabling the Pallas path."""
+        if self.selL_slot is None:
+            from .pallas_kernels import _slot_major
+
+            self.selL_slot = jnp.asarray(
+                _slot_major(self._sel_np[0], self.d_out, self.g))
+            self.selR_slot = jnp.asarray(
+                _slot_major(self._sel_np[1], self.d_out, self.g))
+
+    def slot_major_sels(self):
+        """(selL, selR) permuted slot-major for the Pallas kernels."""
+        if self.selL_slot is None:
+            import jax
+
+            if not jax.core.trace_state_clean():
+                # Building under a trace would cache tracers (leak).
+                raise RuntimeError("call build_slot_sels() before tracing")
+            self.build_slot_sels()
+        return self.selL_slot, self.selR_slot
 
     def __call__(self, Af, Bf):
+        if self.use_pallas:
+            from .pallas_kernels import fused_bilinear
+
+            sL, sR = self.slot_major_sels()
+            return fused_bilinear(
+                Af, Bf, sL, sR, self.d_out, self.g,
+                interpret=self.use_pallas == "interpret")
         L = Af @ self.selL.astype(Af.dtype)
         R = Bf @ self.selR.astype(Bf.dtype)
         prod = L * R

@@ -67,8 +67,22 @@ class SchurOps(BundleOps):
     """BundleOps with a Schur-complement normal backend."""
 
     def __init__(self, project, spec, dtype=jnp.float64, pair_chunk=32768,
-                 mesh=None, refine_iters: int = 2):
+                 mesh=None, refine_iters: int = 2, use_pallas=None):
         super().__init__(project, spec, dtype=dtype)
+        # Pallas hot-path kernels (pallas_kernels.py): auto-on for the
+        # unsharded TPU backend; DBAT_PALLAS=0/1/interpret overrides.
+        if use_pallas is None:
+            import os
+
+            env = os.environ.get("DBAT_PALLAS", "")
+            if env == "interpret":
+                use_pallas = "interpret"
+            elif env in ("0", "1"):
+                use_pallas = env == "1"
+            else:
+                use_pallas = (mesh is None
+                              and jax.default_backend() == "tpu")
+        self.use_pallas = use_pallas
         #: iterative-refinement steps for the f32 reduced solve
         self.refine_iters = refine_iters
         self.n_c = spec.n_io + spec.n_eo
@@ -164,6 +178,7 @@ class SchurOps(BundleOps):
         self._packed_R = None
         self.pair_i1f = self.pair_i2f = None
         self._seg_campair = None
+        self._pair_plan = None
         if mesh is None:
             from .segsum import SegSum
 
@@ -194,6 +209,11 @@ class SchurOps(BundleOps):
                 self.pair_i1f = jnp.asarray(i1, jnp.int32)
                 self.pair_i2f = jnp.asarray(i2, jnp.int32)
                 self._seg_campair = SegSum(cp_of_pair, self.n_campair)
+                if self.use_pallas:
+                    from .pallas_kernels import PairBucketPlan
+
+                    self._pair_plan = PairBucketPlan(
+                        i1, i2, cp_of_pair, self.n_campair, self.n_obs)
         else:
             pc = pair_chunk
             pad = (-len(i1)) % pc
@@ -252,6 +272,15 @@ class SchurOps(BundleOps):
             self.pair_i2 = jax.device_put(self.pair_i2, sh)
             self.pair_cp = jax.device_put(self.pair_cp, sh)
             self.cam_cols = self.cols[:, jnp.asarray(self.cam_active)]
+
+        if self.use_pallas:
+            fbs = [self._fb_u, self._fb_w, self._fb_y, self._fb_pair]
+            if getattr(self, "_fb_packed", None) is not None \
+                    and self._packed_R is not None:
+                fbs.append(self._fb_packed)
+            for fb in fbs:
+                fb.use_pallas = self.use_pallas
+                fb.build_slot_sels()
 
         from .precision import with_highest_precision
 
@@ -457,6 +486,11 @@ class SchurOps(BundleOps):
             Yp = Yf.reshape(self.n_pt, self._packed_R * nb * 3)
             Cf = self._fb_packed(Yp, Yp)  # (n_pt, n_slotpair*nb*nb)
             return self._seg_campair(Cf.reshape(-1, nb * nb))
+        if self._pair_plan is not None:
+            sL, sR = self._fb_pair.slot_major_sels()
+            return self._pair_plan(
+                Yf, sL, sR, nb * nb, self._fb_pair.g,
+                interpret=self.use_pallas == "interpret")
         if self.pair_i1f is not None:
             Cf = self._fb_pair(Yf[self.pair_i1f], Yf[self.pair_i2f])
             return self._seg_campair(Cf)
