@@ -224,7 +224,12 @@ def _triangulate(R1, t1, R2, t2, u1, u2):
 
 def essential_ransac(x1, x2, threshold: float = 1e-3, iters: int = 200,
                      rng=None):
-    """Robust essential matrix via 5-point RANSAC with Sampson error."""
+    """Robust essential matrix via 5-point RANSAC with Sampson error.
+
+    MSAC scoring (sum of thresholded Sampson distances) rather than a
+    raw inlier count: with low-noise data several candidate E's can fit
+    every point inside the threshold, and the count alone would keep
+    whichever wrong solution was sampled first."""
     rng = rng or np.random.default_rng(0)
     x1 = np.asarray(x1, dtype=np.float64)
     x2 = np.asarray(x2, dtype=np.float64)
@@ -234,13 +239,14 @@ def essential_ransac(x1, x2, threshold: float = 1e-3, iters: int = 200,
         x2 = np.vstack([x2, np.ones(x2.shape[1])])
     n = x1.shape[1]
     best_E, best_inl = None, np.zeros(n, dtype=bool)
+    best_score = np.inf
     for _ in range(iters):
         sel = rng.choice(n, 5, replace=False)
         for E in essential_5pt(x1[:, sel], x2[:, sel]):
             d = _sampson(E, x1, x2)
-            inl = d < threshold
-            if inl.sum() > best_inl.sum():
-                best_E, best_inl = E, inl
+            score = np.minimum(d, threshold).sum()
+            if score < best_score:
+                best_E, best_inl, best_score = E, d < threshold, score
     return best_E, best_inl
 
 

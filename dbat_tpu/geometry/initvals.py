@@ -46,6 +46,71 @@ def undistort_obs(project):
     return q - (delta_r + delta_t)
 
 
+def _brown_delta(xb, K, P):
+    """Brown radial+tangential distortion delta at centered mm coords
+    xb (n,2) with per-obs K (n,nK), P (n,nP) (ref brown_rad.m/brown_tang.m)."""
+    r2 = np.sum(xb**2, axis=1, keepdims=True)
+    kr = np.zeros_like(r2)
+    for i in reversed(range(K.shape[1])):
+        kr = K[:, i:i + 1] + r2 * kr
+    delta_r = xb * (r2 * kr)
+    p1 = P[:, 0:1] if P.shape[1] >= 1 else 0.0
+    p2 = P[:, 1:2] if P.shape[1] >= 2 else 0.0
+    x, y = xb[:, 0:1], xb[:, 1:2]
+    delta_t = np.concatenate(
+        [p1 * (r2 + 2 * x**2) + 2 * p2 * x * y,
+         p2 * (r2 + 2 * y**2) + 2 * p1 * x * y], axis=1)
+    return delta_r + delta_t
+
+
+def ideal_proj_obs(project):
+    """Exact centered ideal projection -cc*(Xc_xy/Xc_z) per observation.
+
+    Evaluates the measured-side chain of the project's distortion model
+    (models/residuals.py residual_obs; ref res_euler_brown_*.m) at the
+    measurements: in DBAT's backward convention the chain output *is*
+    the ideal pinhole projection, so no iterative inversion is needed
+    for models 1-5 (model -1, the forward/CV model, uses a fixed-point
+    inversion). Unlike undistort_obs (pm_multilenscorr1.m semantics,
+    which neglects affine), this removes aspect/skew too — required for
+    exact relative orientation on networks with aspect != 1."""
+    p = project
+    q = p.ip_px * np.array([1.0, -1.0]) * p.sensor_px_size[p.obs_img][:, 0:1]
+    io = p.io[p.obs_img]
+    pp = io[:, 1:3]
+    b = io[:, 3:5]
+    K = io[:, 5:5 + p.nK]
+    P = io[:, 5 + p.nK:5 + p.nK + p.nP]
+    x = q - pp
+
+    def affine(u):
+        return np.concatenate(
+            [(1.0 + b[:, 0:1]) * u[:, 0:1] + b[:, 1:2] * u[:, 1:2],
+             u[:, 1:2]], axis=1)
+
+    m = p.dist_model
+    if m in (1, 2):
+        return x - _brown_delta(x, K, P)
+    if m == 3:
+        xa = affine(x)
+        return xa - _brown_delta(xa, K, P)
+    if m == 4:
+        return affine(x - _brown_delta(x, K, P))
+    if m == 5:
+        xs = np.concatenate(
+            [(1.0 + b[:, 0:1]) * q[:, 0:1], q[:, 1:2]], axis=1) - pp
+        xu = xs - _brown_delta(xs, K, P)
+        return np.concatenate(
+            [xu[:, 0:1] + b[:, 1:2] * xu[:, 1:2], xu[:, 1:2]], axis=1)
+    if m == -1:
+        # Forward model: w + delta(w) = x; fixed-point inversion.
+        w = x.copy()
+        for _ in range(12):
+            w = x - _brown_delta(w, K, P)
+        return w
+    raise ValueError(f"Bad distortion model {m}")
+
+
 # ---------------------------------------------------------------------------
 # 3-point spatial resection (ref code/photogrammetry/pm_resect_3pt.m,
 # Haralick et al. 1994 / Grunert)

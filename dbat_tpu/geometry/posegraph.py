@@ -28,20 +28,24 @@ from __future__ import annotations
 import numpy as np
 
 from .essential import cams_from_e, essential_ransac
-from .initvals import forward_intersect, undistort_obs
+from .initvals import forward_intersect, ideal_proj_obs
 from ..models.rotation import decompose_w2c, world_to_cam_matrix
 
 
 def _normalized_obs(project):
-    """Normalized camera-ray coordinates u = [(xy-pp)/-f, 1] per
-    observation (the camera-frame ray direction; see
-    initvals.forward_intersect)."""
+    """Normalized camera-ray coordinates u = [ideal/-f, 1] per
+    observation.
+
+    ideal_proj_obs inverts the full measured-side chain (lens AND
+    affine), so u equals Xc/Xc_z exactly for noise-free data.  Note
+    DBAT cameras look down -z (in-front points have Xc_z < 0), so u is
+    anti-parallel to the true ray; the epipolar constraint is
+    scale-sign-invariant, and cams_from_e's z>0 chirality vote then
+    selects (R_true, -t_true) — correct rotation, translation direction
+    negated, which recover_centers' cross-product system and the final
+    global-sign vote both tolerate."""
     p = project
-    xy = undistort_obs(p)
-    io = p.io[p.obs_img]
-    f = io[:, 0:1]
-    pp = io[:, 1:3]
-    un = (xy - pp) / -f
+    un = ideal_proj_obs(p) / -p.io[p.obs_img][:, 0:1]
     return np.concatenate([un, np.ones((len(un), 1))], axis=1)
 
 
@@ -190,6 +194,19 @@ def init_from_pose_graph(project, min_shared: int = 12,
     pose-graph gauge (C_0 = 0, unit RMS baseline) — exactly what a
     free-network bundle with inner constraints expects."""
     p = project
+    # Known object coordinates to align the free-gauge network onto:
+    # fully-fixed points (est_op none; ctrl points in synthetic/demo
+    # networks) plus weighted ctrl points carrying full priors.  Saved
+    # now because forward_intersect below overwrites every OP.
+    fixed = ~p.est_op.any(axis=1) & np.isfinite(p.op).all(axis=1)
+    fixed_vals = p.op[fixed].copy()
+    prior_full = (p.prior_op_use.all(axis=1)
+                  & np.isfinite(p.prior_op_val).all(axis=1) & ~fixed)
+    ctrl_idx = np.concatenate(
+        [np.flatnonzero(fixed), np.flatnonzero(prior_full)])
+    ctrl_target = np.concatenate(
+        [fixed_vals, p.prior_op_val[prior_full]], axis=0)
+
     edges = build_view_graph(p, min_shared=min_shared,
                              ransac_iters=ransac_iters, threshold=threshold,
                              max_pairs_per_cam=max_pairs_per_cam, rng=rng)
@@ -206,23 +223,25 @@ def init_from_pose_graph(project, min_shared: int = 12,
             p.eo[i, 3:6] = decompose_w2c(Rg[i])
         ids, _res = forward_intersect(p, ids="all", skip_prior=False)
         depths = _point_depths(p)
-        if np.median(depths) > 0:
+        # In-front is depth < 0 in this convention (projection uses -f;
+        # ref pointdepth.m negates ptdepth) — cf. bundle.chirality_veto.
+        if np.median(depths) < 0:
             break
 
-    n_behind = int((depths <= 0).sum())
+    n_behind = int((depths >= 0).sum())
 
-    # Align onto control points when available.
+    # Similarity-align the free-gauge network onto the known control
+    # coordinates (ref pm_multialign.m / rigidalign.m), then restore
+    # fixed points exactly (the bundle treats them as constants).
     aligned = False
-    use = getattr(p, "prior_op_use", None)
-    if use is not None and use.any():
+    if len(ctrl_idx) >= 3:
         from .align import rigid_align, transform_network
 
-        full = use.all(axis=1) & np.isfinite(p.prior_op).all(axis=1)
-        idx = np.flatnonzero(full)
-        if len(idx) >= 3:
-            T = rigid_align(p.op[idx], p.prior_op[idx], scale=True)
-            transform_network(p, T)
-            aligned = True
+        T, _R, _d, _alpha = rigid_align(
+            p.op[ctrl_idx].T, ctrl_target.T, scale=True)
+        transform_network(p, T)
+        aligned = True
+    p.op[fixed] = fixed_vals
 
     return {"edges": [(i, j, w) for (i, j, _R, _t, w) in edges],
             "n_edges": len(edges), "behind": n_behind,

@@ -73,13 +73,12 @@ class FlatBilinear:
                 _slot_major(self._sel_np[1], self.d_out, self.g))
 
     def slot_major_sels(self):
-        """(selL, selR) permuted slot-major for the Pallas kernels."""
-        if self.selL_slot is None:
-            import jax
+        """(selL, selR) permuted slot-major for the Pallas kernels.
 
-            if not jax.core.trace_state_clean():
-                # Building under a trace would cache tracers (leak).
-                raise RuntimeError("call build_slot_sels() before tracing")
+        Safe to call lazily even under a trace: build_slot_sels only
+        converts host numpy constants via jnp.asarray, which yields
+        concrete arrays (never tracers), so caching cannot leak."""
+        if self.selL_slot is None:
             self.build_slot_sels()
         return self.selL_slot, self.selR_slot
 
