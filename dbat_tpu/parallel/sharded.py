@@ -106,6 +106,8 @@ class ShardedSchurOps(BundleOps):
                  cap: int = 64):
         super().__init__(project, spec, dtype=dtype)
         self.mesh = mesh
+        self._project = project
+        self._cov_ops = None
         n_sh = int(np.prod(list(mesh.shape.values())))
         self.n_sh = n_sh
         p = project
@@ -609,3 +611,21 @@ class ShardedSchurOps(BundleOps):
 
         U, V, Wb, gc, gp, rw = self._assemble(x)
         return SchurNormalState(self, U, V, Wb, gc, gp, rw)
+
+    # ------------------------------------------------------------------
+    def covariance_ops(self):
+        """Unsharded SchurOps over the same project/spec for posterior
+        covariance and reporting (bundle_cov.m analog).
+
+        The covariance layer extracts blocks of N^-1 from the camera
+        Schur complement — a one-shot post-processing pass over the
+        *same* normal equations this backend assembled (identical x,
+        spec, weights), so delegating to the single-process extraction
+        is numerically equivalent; the COP chunk loop itself shards
+        over points via Covariance.cop(mesh=...)."""
+        if self._cov_ops is None:
+            from ..solve.schur import SchurOps
+
+            self._cov_ops = SchurOps(self._project, self.spec,
+                                     dtype=self.dtype)
+        return self._cov_ops

@@ -37,6 +37,11 @@ class Covariance:
         self.project = project
         self.info = info
         self.ops = info.ops
+        # Mesh-sharded backends delegate post-bundle covariance to an
+        # equivalent unsharded SchurOps (same project/spec/weights).
+        delegate = getattr(self.ops, "covariance_ops", None)
+        if delegate is not None:
+            self.ops = delegate()
         self.spec = info.spec
         self.s0_2 = info.sigma0**2
         self._x = None
@@ -208,11 +213,15 @@ class Covariance:
         return out * self.s0_2
 
     # ------------------------------------------------------------------
-    def cop(self, chunk: int = 4096):
+    def cop(self, chunk: int = 4096, mesh=None):
         """(n_op, 3, 3) per-point posterior covariance blocks.
 
         Schur path: batched V^-1 + V^-1 (Ncp' S^-1 Ncp) V^-1, chunked
-        over points (the icpc_mex equivalent)."""
+        over points (the icpc_mex equivalent).  With a mesh (passed, or
+        auto-detected from a mesh bundle's ops), the chunk loop is
+        sharded over the point partition: each device processes its
+        chunks against the replicated Schur factor (bundle_cov.m's
+        256 MB blocking, VectorizedCOP :397-401, distributed)."""
         self.factorize()
         p = self.project
         opx = np.asarray(self.spec.op_x)
@@ -226,6 +235,14 @@ class Covariance:
                     idx = opx[j][est]
                     out[j][np.ix_(est, est)] = Ninv[np.ix_(idx, idx)]
             return out * self.s0_2
+
+        if mesh is None:
+            mesh = getattr(self.info.ops, "mesh", None)
+        if mesh is not None:
+            out = self._cop_sharded(chunk, mesh)
+            est = opx >= 0
+            mask = est[:, :, None] & est[:, None, :]
+            return np.where(mask, out, 0.0) * self.s0_2
 
         ops = self.ops
         Vinv = self._schur["Vinv"]
@@ -265,6 +282,96 @@ class Covariance:
         mask = est[:, :, None] & est[:, None, :]
         out = np.where(mask, out, 0.0)
         return out * self.s0_2
+
+    def _cop_sharded(self, chunk: int, mesh):
+        """COP chunk loop distributed over a device mesh.
+
+        Host side builds per-chunk padded gather plans; device side is a
+        shard_map over the chunk axis with the Schur factor L and the
+        camera-point blocks Wb replicated, a lax.scan over each
+        device's local chunks keeping exactly one chunk's Ncp live
+        (same math as the host loop: y = L^-1 Ncp, G = y'y,
+        blk = V^-1 + V^-1 G V^-1)."""
+        import jax.lax as lax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        ops = self.ops
+        p = self.project
+        Vinv = self._schur["Vinv"]
+        Wb = self._schur["Wb"]
+        L = self._schur["L"]
+        n_c = ops.n_c
+        n_cb = Wb.shape[1]
+        dtype = L.dtype
+        ax = list(mesh.shape)[0]
+        n_sh = int(np.prod(list(mesh.shape.values())))
+
+        n_op = p.n_op
+        chunk = min(chunk, max(-(-n_op // n_sh), 1))
+        n_chunks = -(-n_op // chunk)
+        n_chunks = -(-n_chunks // n_sh) * n_sh  # multiple of n_sh
+        n_pad = n_chunks * chunk
+
+        obs_pt = np.asarray(p.obs_pt)
+        n_obs = len(obs_pt)
+        cam_cols = ops.cols_np[:, ops.cam_active]
+        cam_cols = np.where(cam_cols >= 0, cam_cols, n_c)
+
+        # Per-chunk padded observation plans.
+        order = np.argsort(obs_pt, kind="stable")
+        pt_sorted = obs_pt[order]
+        cuts = np.searchsorted(pt_sorted, np.arange(0, n_pad + 1, chunk))
+        S_co = max(int(np.diff(cuts).max()), 1)
+        obs_sel = np.full((n_chunks, S_co), n_obs, np.int32)  # pad row
+        lpts = np.full((n_chunks, S_co), chunk, np.int32)     # dump pt
+        ccs = np.full((n_chunks, S_co, n_cb), n_c, np.int32)  # dump cam
+        for k in range(n_chunks):
+            a, b = cuts[k], cuts[k + 1]
+            sel = order[a:b]
+            m = b - a
+            obs_sel[k, :m] = sel
+            lpts[k, :m] = obs_pt[sel] - k * chunk
+            ccs[k, :m] = cam_cols[sel]
+
+        Vj = jnp.concatenate(
+            [Vinv, jnp.zeros((n_pad - n_op, 3, 3), dtype)], axis=0
+        ).reshape(n_chunks, chunk, 3, 3)
+        Wb_pad = jnp.concatenate(
+            [Wb.astype(dtype), jnp.zeros((1, n_cb, 3), dtype)], axis=0)
+
+        def shard_fn(obs_sel, ccs, lpts, Vj, Wb_pad, L):
+            def one_chunk(carry, inp):
+                osel, cc, lpt, V = inp
+                W = Wb_pad[osel]  # (S_co, n_cb, 3)
+                Ncp = jnp.zeros((n_c + 1, chunk + 1, 3), dtype)
+                Ncp = Ncp.at[cc, lpt[:, None]].add(W)
+                Ncp = Ncp[:n_c, :chunk].reshape(n_c, chunk * 3)
+                y = jax.scipy.linalg.solve_triangular(L, Ncp, lower=True)
+                y = y.reshape(n_c, chunk, 3)
+                G = jnp.einsum("cja,cjb->jab", y, y)
+                blk = V + jnp.einsum("jab,jbc,jcd->jad", V, G, V)
+                return carry, blk
+
+            _, blks = lax.scan(one_chunk, 0,
+                               (obs_sel, ccs, lpts, Vj))
+            return blks
+
+        fn = shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(ax), P(ax), P(ax), P(ax), P(), P()),
+            out_specs=P(ax), check_rep=False)
+        shard = NamedSharding(mesh, P(ax))
+        rep = NamedSharding(mesh, P())
+        blks = jax.jit(fn)(
+            jax.device_put(jnp.asarray(obs_sel), shard),
+            jax.device_put(jnp.asarray(ccs), shard),
+            jax.device_put(jnp.asarray(lpts), shard),
+            jax.device_put(Vj, shard),
+            jax.device_put(Wb_pad, rep),
+            jax.device_put(L, rep),
+        )
+        return np.asarray(blks).reshape(n_pad, 3, 3)[:n_op]
 
     # ------------------------------------------------------------------
     def posterior_std(self):

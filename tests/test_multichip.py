@@ -117,3 +117,37 @@ def test_sharded_fused_bundle():
     assert res.code == 0
     rn = float(np.sqrt(res.final_rw @ res.final_rw))
     assert rn <= np.sqrt(dof)
+
+
+def test_sharded_covariance_and_report(tmp_path):
+    """Posterior covariance + the full report must work on mesh results
+    and match the unsharded path (VERDICT r2: Covariance crashed with
+    AttributeError after any sharded bundle)."""
+    from dbat_tpu.io.report import write_report
+    from dbat_tpu.solve.bundle import bundle
+    from dbat_tpu.solve.covariance import Covariance
+
+    def net():
+        s = make_ring_network(n_img=12, n_pt=96, rays_per_pt=(3, 8),
+                              n_obs_target=500, n_ctrl=4, noise_px=0.05,
+                              est_io_cols=("cc",), seed=11)
+        perturb(s, eo_pos=0.02, eo_ang=0.005, op_pos=0.02)
+        return s
+
+    s1 = net()
+    r1, ok1, _, _, info1 = bundle(s1, damping="gna", backend="schur")
+    assert ok1
+    s8 = net()
+    r8, ok8, _, _, info8 = bundle(s8, damping="gna", mesh=make_mesh())
+    assert ok8
+
+    c1 = Covariance(r1, info1)
+    c8 = Covariance(r8, info8)
+    np.testing.assert_allclose(c8.cio(), c1.cio(), rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(c8.ceo(), c1.ceo(), rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(c8.cop(), c1.cop(), rtol=1e-8, atol=1e-12)
+
+    stats = write_report(r8, info8, str(tmp_path / "mesh-report.txt"),
+                         damping="gna")
+    assert (tmp_path / "mesh-report.txt").read_text().count("\n") > 100
+    assert stats is not None
