@@ -95,10 +95,14 @@ def main():
     cold_solve = time.time() - t0
     cold_ttc = time.time() - T_START
 
-    # --- Warm time-to-convergence. ------------------------------------
-    t0 = time.time()
-    res_w = fused_gna(ops, x0, max_iter=20, conv_tol=floor, abs_term=True)
-    warm_ttc = time.time() - t0
+    # --- Warm time-to-convergence (best of 3: tunnel dispatch jitter
+    # dominates at this scale). -----------------------------------------
+    warm_ttc = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        res_w = fused_gna(ops, x0, max_iter=20, conv_tol=floor,
+                          abs_term=True)
+        warm_ttc = min(warm_ttc, time.time() - t0)
 
     # --- Throughput: fixed 10 damped iterations (no early exit). ------
     n_fixed = 10

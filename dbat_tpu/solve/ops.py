@@ -261,7 +261,12 @@ class BundleOps:
         Replaces the reference's sprank/dmperm structural sanity check
         (gauss_newton_armijo.m:130-142) without a sparse J: rows are the
         2*n_obs image rows plus prior rows; columns are unknowns.
+        Cached per ops — the pattern is static, and the matching costs
+        0.4-1.3 s at Hamburg scale (most of the warm solve overhead).
         """
+        cached = getattr(self, "_structural_rank", None)
+        if cached is not None:
+            return cached
         import scipy.sparse as sp
         from scipy.sparse.csgraph import maximum_bipartite_matching
 
@@ -284,7 +289,8 @@ class BundleOps:
             shape=(self.n_res, self.n_x),
         )
         match = maximum_bipartite_matching(A, perm_type="row")
-        return int((match >= 0).sum())
+        self._structural_rank = int((match >= 0).sum())
+        return self._structural_rank
 
     def unmatched_columns(self) -> np.ndarray:
         import scipy.sparse as sp
