@@ -535,3 +535,50 @@ def from_pm(prob: PmProject, individual_cameras: bool = False) -> Project:
         file_name=prob.file_name,
         im_dir=im_dir,
     )
+
+
+def prune_network(project, keep_obs=None, min_views: int = 2) -> dict:
+    """Remove observations and under-observed points, in place.
+
+    keep_obs: (n_obs,) bool mask of observations to keep (None = all).
+    After observation removal, estimated points with fewer than
+    `min_views` remaining rays are removed entirely (with their
+    observations); control points are kept regardless (the reference's
+    check_ray_count / loadplotpsz.m:55-80 filtering rule).  Returns
+    {"n_obs_removed", "n_op_removed", "op_keep"} (op_keep maps old ->
+    kept rows for callers tracking per-point side data)."""
+    p = project
+    n_obs0 = p.n_obs
+    keep = (np.ones(n_obs0, bool) if keep_obs is None
+            else np.asarray(keep_obs, bool).copy())
+
+    counts = np.bincount(p.obs_pt[keep], minlength=p.n_op)
+    fixed = ~p.est_op.any(axis=1) | p.is_ctrl
+    op_keep = (counts >= min_views) | (fixed & (counts > 0))
+    keep &= op_keep[p.obs_pt]
+
+    remap = np.cumsum(op_keep) - 1
+    p.obs_img = p.obs_img[keep]
+    p.obs_pt = remap[p.obs_pt[keep]].astype(p.obs_pt.dtype)
+    p.ip_px = p.ip_px[keep]
+    p.ip_std_px = p.ip_std_px[keep]
+    if p.ip_id is not None:
+        p.ip_id = p.ip_id[keep]
+
+    p.op = p.op[op_keep]
+    p.est_op = p.est_op[op_keep]
+    p.is_ctrl = p.is_ctrl[op_keep]
+    p.is_check = p.is_check[op_keep]
+    p.op_id = p.op_id[op_keep]
+    if p.op_raw_id is not None:
+        p.op_raw_id = p.op_raw_id[op_keep]
+    if p.op_labels:
+        p.op_labels = [l for l, k in zip(p.op_labels, op_keep) if k]
+    for name in ("prior_op_val", "prior_op_std", "prior_op_use"):
+        v = getattr(p, name)
+        if v is not None:
+            setattr(p, name, v[op_keep])
+
+    return {"n_obs_removed": int(n_obs0 - keep.sum()),
+            "n_op_removed": int((~op_keep).sum()),
+            "op_keep": op_keep}

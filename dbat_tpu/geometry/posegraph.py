@@ -117,19 +117,27 @@ def _project_so3(M):
     return R
 
 
-def average_rotations(n_img: int, edges, sweeps: int = 30):
+def average_rotations(n_img: int, edges, sweeps: int = 30,
+                      irls_rounds: int = 3):
     """Global rotations from pairwise R_ij = R_j R_i^T.
 
-    Spanning-tree initialization followed by chordal-mean sweeps: each
-    camera is re-estimated as the SO(3) projection of the
-    inlier-weighted mean of its neighbors' predictions.  R_0 = I fixes
-    the gauge."""
-    # nbrs[a] holds (b, Rrel, w) with R_b = Rrel @ R_a, so the
+    Spanning-tree initialization, chordal-mean sweeps (each camera
+    re-estimated as the SO(3) projection of the weighted mean of its
+    neighbors' predictions, R_0 = I gauge), wrapped in IRLS rounds
+    with Cauchy reweighting of the per-edge chordal residual — a
+    minority of wrong relative rotations (RANSAC failures on
+    near-planar pairs) must not bend the solution [Hartley et al.
+    IJCV 2013; Chatterjee & Govindu ICCV 2013 robust L1/IRLS]."""
+    # nbrs[a] holds [b, Rrel, w] with R_b = Rrel @ R_a, so the
     # prediction of R_a from neighbor b is Rrel^T @ R_b.
     nbrs: dict = {i: [] for i in range(n_img)}
+    elist = []
     for (i, j, R, _t, w) in edges:
-        nbrs[i].append((j, R, w))
-        nbrs[j].append((i, R.T, w))
+        rec = [j, R, float(w)]
+        rec2 = [i, R.T, float(w)]
+        nbrs[i].append(rec)
+        nbrs[j].append(rec2)
+        elist.append((i, j, R, rec, rec2, float(w)))
 
     Rg = [None] * n_img
     Rg[0] = np.eye(3)
@@ -146,13 +154,23 @@ def average_rotations(n_img: int, edges, sweeps: int = 30):
             f"view graph disconnected: {n_img - placed} cameras "
             "unreachable from camera 0")
 
-    for _ in range(sweeps):
-        for a in range(1, n_img):
-            M = np.zeros((3, 3))
-            for (b, Rrel, w) in nbrs[a]:
-                M += w * (Rrel.T @ Rg[b])
-            if np.linalg.norm(M) > 0:
-                Rg[a] = _project_so3(M)
+    for round_ in range(irls_rounds):
+        for _ in range(sweeps):
+            for a in range(1, n_img):
+                M = np.zeros((3, 3))
+                for (b, Rrel, w) in nbrs[a]:
+                    M += w * (Rrel.T @ Rg[b])
+                if np.linalg.norm(M) > 0:
+                    Rg[a] = _project_so3(M)
+        if round_ == irls_rounds - 1:
+            break
+        res = np.array([np.linalg.norm(Rg[j] - R @ Rg[i])
+                        for (i, j, R, _r1, _r2, _w) in elist])
+        sigma = max(1.4826 * np.median(res), 1e-6)
+        for res_e, (_i, _j, _R, rec, rec2, w0) in zip(res, elist):
+            w = w0 / (1.0 + (res_e / sigma) ** 2)
+            rec[2] = w
+            rec2[2] = w
     return np.stack(Rg)
 
 
@@ -161,25 +179,44 @@ def _cross_mat(t):
                      [-t[1], t[0], 0.0]])
 
 
-def recover_centers(n_img: int, edges, Rg):
+def recover_centers(n_img: int, edges, Rg, irls_rounds: int = 4):
     """Camera centers from translation directions t_ij ~ R_j(C_i - C_j).
 
     Minimizes sum ||[t_ij]_x R_j (C_i - C_j)||^2 with C_0 = 0, over the
-    unit sphere (smallest right singular vector); returns centers up to
-    a global scale whose sign is later fixed by chirality."""
+    unit sphere (smallest right singular vector); IRLS rounds with
+    Cauchy weights on the per-edge residual (normalized by baseline)
+    keep wrong translation directions from bending the solution.
+    Returns centers up to a global scale whose sign is later fixed by
+    chirality."""
     m = len(edges)
-    A = np.zeros((3 * m, 3 * (n_img - 1)))
-    for k, (i, j, _R, t, w) in enumerate(edges):
-        B = np.sqrt(w) * (_cross_mat(t) @ Rg[j])
-        if i != 0:
-            A[3 * k:3 * k + 3, 3 * (i - 1):3 * i] = B
-        if j != 0:
-            A[3 * k:3 * k + 3, 3 * (j - 1):3 * j] = -B
-    _, _, Vt = np.linalg.svd(A, full_matrices=False)
-    C = np.zeros((n_img, 3))
-    C[1:] = Vt[-1].reshape(-1, 3)
-    rms = np.sqrt((C ** 2).sum(axis=1).mean())
-    return C / max(rms, 1e-300)
+    w_e = np.array([float(w) for (_i, _j, _R, _t, w) in edges])
+
+    def solve(weights):
+        A = np.zeros((3 * m, 3 * (n_img - 1)))
+        for k, (i, j, _R, t, _w) in enumerate(edges):
+            B = np.sqrt(weights[k]) * (_cross_mat(t) @ Rg[j])
+            if i != 0:
+                A[3 * k:3 * k + 3, 3 * (i - 1):3 * i] = B
+            if j != 0:
+                A[3 * k:3 * k + 3, 3 * (j - 1):3 * j] = -B
+        _, _, Vt = np.linalg.svd(A, full_matrices=False)
+        C = np.zeros((n_img, 3))
+        C[1:] = Vt[-1].reshape(-1, 3)
+        rms = np.sqrt((C ** 2).sum(axis=1).mean())
+        return C / max(rms, 1e-300)
+
+    weights = w_e.copy()
+    C = solve(weights)
+    for _ in range(irls_rounds - 1):
+        res = np.empty(m)
+        for k, (i, j, _R, t, _w) in enumerate(edges):
+            v = Rg[j] @ (C[i] - C[j])
+            nb = np.linalg.norm(v)
+            res[k] = (np.linalg.norm(np.cross(t, v)) / max(nb, 1e-12))
+        sigma = max(1.4826 * np.median(res), 1e-6)
+        weights = w_e / (1.0 + (res / sigma) ** 2)
+        C = solve(weights)
+    return C
 
 
 def init_from_pose_graph(project, min_shared: int = 12,

@@ -91,3 +91,26 @@ def radial_coverage(project, cams=None) -> np.ndarray:
 def ray_counts(project) -> np.ndarray:
     """Number of observing rays per OP."""
     return np.bincount(project.obs_pt, minlength=project.n_op)
+
+
+def reprojection_residuals_px(project) -> np.ndarray:
+    """Per-observation reprojection residual norm in pixels at the
+    current EO/OP values (host numpy; pre-bundle outlier screening).
+
+    Compares the ideal pinhole projection -cc*(Xc_xy/Xc_z) against the
+    measured-side chain evaluated at the measurement
+    (initvals.ideal_proj_obs) — the same quantity the bundle residual
+    minimizes, without weights."""
+    from ..models.rotation import world_to_cam_matrix
+    from .initvals import ideal_proj_obs
+
+    p = project
+    R = np.stack([np.asarray(world_to_cam_matrix(p.eo[i, 3:6]))
+                  for i in range(p.n_img)])
+    Xc = np.einsum("nab,nb->na", R[p.obs_img],
+                   p.op[p.obs_pt] - p.eo[p.obs_img, 0:3])
+    cc = p.io[p.obs_img, 0:1]
+    lhs = -cc * Xc[:, :2] / Xc[:, 2:3]
+    res_mm = lhs - ideal_proj_obs(p)
+    px = p.sensor_px_size[p.obs_img][:, 0]
+    return np.linalg.norm(res_mm, axis=1) / px

@@ -44,6 +44,8 @@ class BundleInfo:
     spec: object = None
     final_factorized: object = None  # cached covariance factorization
     sigmas: np.ndarray = None
+    final_x: np.ndarray = None  # converged x in the ops frame
+    center_offset: np.ndarray = None  # world -> ops frame translation
 
 
 def chirality_veto(ops):
@@ -92,12 +94,73 @@ def bundle(
     backend: str = "auto",
     mesh=None,
     fused: bool = False,
+    center=None,
 ):
     """Run the damped bundle adjustment on a Project.
 
     Returns (project, ok, iters, sigma0, info). `project` is updated
     in place with converged values and posterior residuals.
+
+    `center`: translate the network to its centroid for the solve and
+    back afterwards.  Default: on for f32 (survey-grade coordinates —
+    UTM northings ~1e6 m — lose ~0.1 m to f32 rounding otherwise; the
+    residual model is translation-invariant so the centered solve is
+    exact).  All diagnostics (info.final_x, covariance) live in the
+    centered ops frame; info.center_offset maps back to world.
     """
+    if center is None:
+        center = np.dtype(dtype) == np.float32
+    offset = None
+    if center:
+        rows = []
+        good_op = np.isfinite(project.op).all(axis=1)
+        if good_op.any():
+            rows.append(project.op[good_op])
+        good_eo = np.isfinite(project.eo[:, 0:3]).all(axis=1)
+        if good_eo.any():
+            rows.append(project.eo[good_eo, 0:3])
+        if rows:
+            offset = np.concatenate(rows, axis=0).mean(axis=0)
+    if offset is None:
+        return _bundle_impl(project, damping, max_iter, conv_tol, abs_term,
+                            singular_test, veto, pm_dof, trace, dtype,
+                            backend, mesh, fused)
+    _shift_network(project, -offset)
+    try:
+        out = _bundle_impl(project, damping, max_iter, conv_tol, abs_term,
+                           singular_test, veto, pm_dof, trace, dtype,
+                           backend, mesh, fused)
+        out[4].center_offset = offset
+        return out
+    finally:
+        _shift_network(project, offset)
+
+
+def _shift_network(p, d):
+    """Translate OP/EO positions and their priors by d (NaN-safe)."""
+    p.op = p.op + d
+    p.eo[:, 0:3] += d
+    if p.prior_op_val is not None:
+        p.prior_op_val = p.prior_op_val + d
+    if p.prior_eo_val is not None:
+        p.prior_eo_val[:, 0:3] += d
+
+
+def _bundle_impl(
+    project,
+    damping: str = "gna",
+    max_iter: int = 20,
+    conv_tol: float = 1e-6,
+    abs_term: bool = False,
+    singular_test: bool = True,
+    veto: bool = False,
+    pm_dof: bool = False,
+    trace: bool = False,
+    dtype=jnp.float64,
+    backend: str = "auto",
+    mesh=None,
+    fused: bool = False,
+):
     damping = damping.lower()
     if damping not in ("none", "gm", "gna", "lm", "lmp"):
         raise ValueError(f"Unknown damping {damping!r}")
@@ -207,6 +270,7 @@ def bundle(
 
     ok = res.code == solvers.OK
     x = jnp.asarray(res.x)
+    info.final_x = np.asarray(res.x)
 
     if ok:
         io, eo, op = deserialize(spec, x, ops.base_io, ops.base_eo, ops.base_op)

@@ -51,10 +51,17 @@ class Covariance:
     # ------------------------------------------------------------------
     def _final_x(self):
         if self._x is None:
-            from ..core.serial import serialize
+            # Prefer the solver's converged x: it lives in the ops
+            # frame (which may be centroid-shifted for f32 solves,
+            # bundle(center=...)) and skips a re-serialize.
+            fx = getattr(self.info, "final_x", None)
+            if fx is not None:
+                self._x = jnp.asarray(fx)
+            else:
+                from ..core.serial import serialize
 
-            p = self.project
-            self._x = serialize(self.spec, p.io, p.eo, p.op)
+                p = self.project
+                self._x = serialize(self.spec, p.io, p.eo, p.op)
         return self._x
 
     def factorize(self):
