@@ -65,33 +65,39 @@ def build_view_graph(project, min_shared: int = 12, ransac_iters: int = 100,
     rng = rng or np.random.default_rng(0)
     u = _normalized_obs(p)
 
-    # Shared-point counts per camera pair via the per-point obs lists.
-    order = np.argsort(p.obs_pt, kind="stable")
-    pt_sorted = p.obs_pt[order]
-    starts = np.flatnonzero(np.diff(pt_sorted, prepend=-1))
-    counts = np.diff(np.append(starts, len(pt_sorted)))
-    pair_obs: dict = {}
-    for s, c in zip(starts, counts):
-        grp = order[s:s + c]
-        cams = p.obs_img[grp]
-        o2 = grp[np.argsort(cams)]
-        cams = np.sort(cams)
-        for a in range(len(o2)):
-            for b in range(a + 1, len(o2)):
-                pair_obs.setdefault((cams[a], cams[b]), []).append(
-                    (o2[a], o2[b]))
+    # Shared-observation pairs per camera pair, fully vectorized (the
+    # round-2 Python dict loop was O(sum rays^2) appends — minutes at
+    # 197k observations): strict within-point observation pairs from
+    # the solver's pair builder, keyed and sorted by camera pair.
+    from ..solve.schur import _build_pairs
 
-    cand = [(len(v), ij, v) for ij, v in pair_obs.items()
-            if len(v) >= min_shared]
-    cand.sort(key=lambda t: -t[0])
+    i1, i2 = _build_pairs(np.asarray(p.obs_pt))
+    c1 = np.asarray(p.obs_img)[i1]
+    c2 = np.asarray(p.obs_img)[i2]
+    swap = c1 > c2
+    c1s = np.where(swap, c2, c1)
+    c2s = np.where(swap, c1, c2)
+    o1 = np.where(swap, i2, i1)
+    o2 = np.where(swap, i1, i2)
+    key = c1s.astype(np.int64) * p.n_img + c2s
+    ko = np.argsort(key, kind="stable")
+    key, o1, o2 = key[ko], o1[ko], o2[ko]
+    ukey, kstart, kcount = np.unique(key, return_index=True,
+                                     return_counts=True)
+    big = kcount >= min_shared
+    cand_order = np.argsort(-kcount[big], kind="stable")
+    cand_idx = np.flatnonzero(big)[cand_order]
+
     deg = np.zeros(p.n_img, dtype=int)
     edges = []
-    for n_sh, (i, j), ov in cand:
+    for q in cand_idx:
+        i = int(ukey[q] // p.n_img)
+        j = int(ukey[q] % p.n_img)
         if deg[i] >= max_pairs_per_cam and deg[j] >= max_pairs_per_cam:
             continue
-        ov = np.asarray(ov)
-        x1 = u[ov[:, 0]].T  # camera i
-        x2 = u[ov[:, 1]].T  # camera j
+        sl = slice(kstart[q], kstart[q] + kcount[q])
+        x1 = u[o1[sl]].T  # camera i
+        x2 = u[o2[sl]].T  # camera j
         E, inl = essential_ransac(x1, x2, threshold=threshold,
                                   iters=ransac_iters, rng=rng)
         if E is None or inl.sum() < min_shared:

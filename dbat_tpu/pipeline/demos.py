@@ -14,7 +14,7 @@ REFERENCE_DATA = "/root/reference/data"
 
 
 def camcal(damping: str = "gna", data_dir: str = None, trace: bool = False,
-           dtype=None, model: int = 3):
+           dtype=None, model: int = 3, **bundle_kw):
     """Camera calibration demo (ref code/demo/camcaldemo.m,
     camcaldemo_allmodels.m via `model`).
 
@@ -66,7 +66,7 @@ def camcal(damping: str = "gna", data_dir: str = None, trace: bool = False,
 
         dtype = default_dtype()
     result, ok, iters, sigma0, info = bundle(
-        s, damping=damping, trace=trace, dtype=dtype
+        s, damping=damping, trace=trace, dtype=dtype, **bundle_kw
     )
     return result, ok, iters, sigma0, info
 
@@ -124,7 +124,7 @@ def camcal_error_demo(which: str, damping: str = "gna"):
 
 
 def prague_sxb(label: str = "s2", orient: bool = False, damping: str = "gna",
-               trace: bool = False, dtype=None):
+               trace: bool = False, dtype=None, **bundle_kw):
     """Prague 2016 sxb aerial experiments (ref code/demo/prague2016_pm.m).
 
     label: 's1' fixed CPs (f-op0), 's2' weighted CPs (w-op0),
@@ -183,7 +183,7 @@ def prague_sxb(label: str = "s2", orient: bool = False, damping: str = "gna",
 
         dtype = default_dtype()
     result, ok, iters, sigma0, info = bundle(
-        s, damping=damping, trace=trace, dtype=dtype
+        s, damping=damping, trace=trace, dtype=dtype, **bundle_kw
     )
     return result, ok, iters, sigma0, info
 
@@ -191,7 +191,7 @@ def prague_sxb(label: str = "s2", orient: bool = False, damping: str = "gna",
 def ps_postproc(file_name: str = None, use_semilocal: bool = False,
                 min_rays: int = 0, min_angle: float = 0.0,
                 damping: str = "gna", trace: bool = False, backend="auto",
-                stats_dir: str = None, dtype=None):
+                stats_dir: str = None, dtype=None, **bundle_kw):
     """Re-adjust a PhotoScan/Metashape .psz project
     (ref code/demo/ps_postproc.m).
 
@@ -271,13 +271,14 @@ def ps_postproc(file_name: str = None, use_semilocal: bool = False,
 
         dtype = default_dtype()
     result, ok, iters, sigma0, info = bundle(
-        s, damping=damping, trace=trace, dtype=dtype, backend=backend
+        s, damping=damping, trace=trace, dtype=dtype, backend=backend,
+        **bundle_kw
     )
     return result, ok, iters, sigma0, info
 
 
 def sxb_prior_eo(use_prior_eo: bool = True, damping: str = "gna",
-                 trace: bool = False, dtype=None):
+                 trace: bool = False, dtype=None, **bundle_kw):
     """Prior-EO observation demo (ref code/demo/sxb_prior_eo.m).
 
     wsmart-with-orient network with weighted CPs; optionally adds prior
@@ -330,6 +331,6 @@ def sxb_prior_eo(use_prior_eo: bool = True, damping: str = "gna",
 
         dtype = default_dtype()
     result, ok, iters, sigma0, info = bundle(
-        s, damping=damping, trace=trace, dtype=dtype
+        s, damping=damping, trace=trace, dtype=dtype, **bundle_kw
     )
     return result, ok, iters, sigma0, info

@@ -3,6 +3,7 @@ from .plots import (  # noqa: F401
     plot_image_stats,
     plot_images,
     plot_network,
+    plot_network_playback,
     plot_op_stats,
     plot_params,
 )

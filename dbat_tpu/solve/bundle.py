@@ -137,13 +137,15 @@ def bundle(
 
 
 def _shift_network(p, d):
-    """Translate OP/EO positions and their priors by d (NaN-safe)."""
+    """Translate OP/EO positions and their priors by d (NaN-safe,
+    copy-on-write: loader-produced arrays may be read-only views)."""
+    d6 = np.concatenate([d, np.zeros(3)])
     p.op = p.op + d
-    p.eo[:, 0:3] += d
+    p.eo = p.eo + d6
     if p.prior_op_val is not None:
         p.prior_op_val = p.prior_op_val + d
     if p.prior_eo_val is not None:
-        p.prior_eo_val[:, 0:3] += d
+        p.prior_eo_val = p.prior_eo_val + d6
 
 
 def _bundle_impl(

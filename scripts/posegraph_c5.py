@@ -1,0 +1,114 @@
+"""Pose-graph initialization at the honest C5 benchmark scale
+(VERDICT r2 item 7): 239 cameras, ~18k points, ~197k observations,
+initialized from image measurements ALONE (EO/OP destroyed), then
+bundled to the noise floor with the fused TPU solver.
+
+Writes POSEGRAPH_C5.md.  Usage:  python scripts/posegraph_c5.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from dbat_tpu.config import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def main():
+    from dbat_tpu.core.serial import build_serial
+    from dbat_tpu.geometry.posegraph import init_from_pose_graph
+    from dbat_tpu.geometry.quality import reprojection_residuals_px
+    from dbat_tpu.pipeline.synthetic import make_ring_network
+    from dbat_tpu.solve.fused import fused_gna
+    from dbat_tpu.solve.schur import SchurOps
+
+    t_all = time.time()
+    t0 = time.time()
+    s = make_ring_network(
+        n_img=239, n_pt=17993, rays_per_pt=(3, 40), n_obs_target=196715,
+        n_ctrl=8, noise_px=0.1, ip_std_px=0.1,
+        est_io_cols=("cc", "px", "py", "K1", "K2", "K3", "P1", "P2"),
+        seed=17,
+    )
+    gt_eo = s.eo.copy()
+    gt_op = s.op.copy()
+    # Destroy every initial value the pose graph must recover.
+    s.eo[:, 0:6] = 0.0
+    est = s.est_op.all(axis=1)
+    s.op[est] = 0.0
+    t_gen = time.time() - t0
+
+    t0 = time.time()
+    info = init_from_pose_graph(s, min_shared=20, ransac_iters=30,
+                                max_pairs_per_cam=6)
+    t_init = time.time() - t0
+
+    res_px = reprojection_residuals_px(s)
+    eo_err = np.linalg.norm(s.eo[:, 0:3] - gt_eo[:, 0:3], axis=1)
+    op_err = np.linalg.norm(s.op[est] - gt_op[est], axis=1)
+
+    t0 = time.time()
+    spec = build_serial(s)
+    ops = SchurOps(s, spec, dtype=jnp.float32)
+    dof = ops.n_res - ops.n_x
+    floor = float(np.sqrt(dof))
+    res = fused_gna(ops, ops.x0(), max_iter=30, conv_tol=floor,
+                    abs_term=True)
+    t_bundle = time.time() - t0
+    rn = float(np.sqrt(res.final_rw @ res.final_rw))
+    sigma0 = rn / floor
+    t_total = time.time() - t_all
+
+    dev = jax.devices()[0]
+    lines = [
+        "# Pose-graph initialization at C5 scale",
+        "",
+        f"Device for the bundle: `{dev}`; host stages are numpy.",
+        f"Run: {time.strftime('%Y-%m-%d %H:%M:%S')}",
+        "",
+        f"Network: {s.n_img} cameras, {s.n_op} points, {s.n_obs} "
+        "observations (honest C5 shape: irregular rays, 8 estimated IO "
+        "params), noise 0.1 px.  All EO and estimated OP values were "
+        "zeroed; initialization used image measurements + the 8 fixed "
+        "control points only.",
+        "",
+        "| Stage | Result | Wall (s) |",
+        "|---|---|---|",
+        f"| network generation | {s.n_obs} obs | {t_gen:.1f} |",
+        f"| pose-graph init (view graph {info['n_edges']} edges, "
+        f"rotation averaging, centers, triangulation, ctrl align) | "
+        f"behind={info['behind']}, aligned={info['aligned_to_ctrl']} | "
+        f"{t_init:.1f} |",
+        f"| fused GNA bundle to noise floor (f32 Schur) | "
+        f"code={res.code}, iters={res.iters}, sigma0={sigma0:.4f} | "
+        f"{t_bundle:.1f} |",
+        f"| total | | {t_total:.1f} |",
+        "",
+        "Init quality before the bundle: camera-center error "
+        f"median {np.median(eo_err):.3f} / max {eo_err.max():.3f} m; "
+        f"object-point error median {np.median(op_err):.3f} m; "
+        f"reprojection residual median {np.median(res_px):.2f} px.",
+        "",
+        f"Converged: {res.code == 0 and sigma0 < 1.05} "
+        "(bundle reaches the sqrt(dof) noise floor => the pose-graph "
+        "init is inside the convergence basin at 239-camera scale; "
+        "DBAT has no measurement-only init at all — resect.m needs "
+        "known object points).",
+    ]
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "POSEGRAPH_C5.md")
+    with open(out, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()

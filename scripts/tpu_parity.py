@@ -47,7 +47,8 @@ def main():
         ("prague sxb s2 (weighted CPs)", 0.984904,
          lambda: demos.prague_sxb("s2", dtype=dtype)),
         ("sxb.psz re-adjustment", 0.710294,
-         lambda: demos.ps_postproc(dtype=dtype, backend="schur")),
+         lambda: demos.ps_postproc(dtype=dtype, backend="schur",
+                                   max_iter=80, conv_tol=1e-3)),
     ]
     for name, golden, fn in cases:
         t0 = time.time()

@@ -162,11 +162,23 @@ def test_images_to_bundle_noise_floor(gt, images):
 
     result, ok, iters, sigma0, _ = bundle(net, damping="gna", max_iter=30)
     assert ok
+    # Second screening pass on the post-bundle residuals (heavy-tail
+    # detections from partly-overlapping targets), then re-adjust.
+    op_keep = stats["op_keep"].copy()
+    res1 = np.linalg.norm(result.post["ip_res_px"], axis=1)
+    thr = 4.0 * np.sqrt((res1 ** 2).mean())
+    if (res1 > thr).any():
+        stats2 = prune_network(net, keep_obs=res1 <= thr, min_views=2)
+        op_keep[op_keep] = stats2["op_keep"]
+        result, ok, iters, sigma0, _ = bundle(net, damping="gna",
+                                              max_iter=30)
+        assert ok
     # Reprojection RMS at the detector noise level (~0.05 px against
     # the declared 0.1 px sigma => sigma0 well under 1).
     assert sigma0 < 1.0
 
     # Estimated points must land on the ground truth.
+    stats = {"op_keep": op_keep}
     newrow = np.cumsum(stats["op_keep"]) - 1
     err = []
     for t in range(len(tracks)):

@@ -12,7 +12,7 @@ from dbat_tpu import plotting
 
 @pytest.fixture(scope="module")
 def camcal_res():
-    return camcal("gna")
+    return camcal("gna", trace=True)
 
 
 def test_all_plots(tmp_path, camcal_res):
@@ -28,3 +28,14 @@ def test_all_plots(tmp_path, camcal_res):
     for f in ("net.png", "net0.png", "params.png", "imstats.png",
               "opstats.png", "cov.png", "img.png"):
         assert (tmp_path / f).stat().st_size > 5000
+
+
+def test_network_playback_and_align(tmp_path, camcal_res):
+    result, ok, iters, sigma0, info = camcal_res
+    assert info.trace.shape[1] >= 3  # needs the full iteration trace
+    n = plotting.plot_network_playback(result, info,
+                                       save=tmp_path / "net.gif")
+    assert n == info.trace.shape[1]
+    assert (tmp_path / "net.gif").stat().st_size > 20000
+    plotting.plot_network(result, align=0, save=tmp_path / "aligned.png")
+    assert (tmp_path / "aligned.png").stat().st_size > 5000

@@ -18,15 +18,17 @@ from dbat_tpu.solve.bundle import bundle
 
 BASE = "/root/reference/data/riva2014"
 
+# (net, ctrl file, pinned converged sigma0 — our own f64 regression
+# values; no golden DBAT reports ship for riva2014)
 NETS = [
-    ("net1-C404Z-2d", "ctrlpts-2d.txt"),
-    ("net2-canon40d-2d", "ctrlpts-2d.txt"),
-    ("net3-canon7d-2d", "ctrlpts-2d.txt"),
+    ("net1-C404Z-2d", "ctrlpts-2d.txt", 1.606521),
+    ("net2-canon40d-2d", "ctrlpts-2d.txt", 1.144913),
+    ("net3-canon7d-2d", "ctrlpts-2d.txt", 3.553555),
 ]
 
 
-@pytest.mark.parametrize("net,cpt", NETS)
-def test_riva_selfcal(net, cpt):
+@pytest.mark.parametrize("net,cpt,sigma0_pin", NETS)
+def test_riva_selfcal(net, cpt, sigma0_pin):
     prob = load_pm(osp.join(BASE, "pmexports", f"{net}.txt"))
     s = from_pm(prob)
     s.dist_model = 3
@@ -47,7 +49,7 @@ def test_riva_selfcal(net, cpt):
     forward_intersect(s, "all", skip_prior=True)
     result, ok, iters, sigma0, info = bundle(s, damping="gna")
     assert ok, f"code {info.code}"
-    assert sigma0 < 10.0
+    assert sigma0 == pytest.approx(sigma0_pin, rel=1e-3)
     # Calibrated focal within 20% of the EXIF/prior value.
     assert abs(result.io[0, 0] / s.prior_io_val[0, 0] - 1) < 0.2
 
@@ -73,5 +75,5 @@ def test_riva_net4_3d_target():
     forward_intersect(s, "all", skip_prior=True)
     result, ok, iters, sigma0, info = bundle(s)
     assert ok
-    assert sigma0 < 1.0
+    assert sigma0 == pytest.approx(0.433168, rel=1e-3)
     assert result.io[0, 0] == pytest.approx(20.70, abs=0.1)

@@ -27,5 +27,7 @@ def test_c5_reduced_converges():
     result, ok, iters, sigma0, info = bundle(s, singular_test=False)
     assert ok
     assert iters <= 8
-    assert sigma0 < 3.0
+    # Pinned regression value (no golden DBAT report ships for the
+    # reduced network; this is our own converged f64 result).
+    assert sigma0 == pytest.approx(2.686801, rel=1e-3)
     assert info.num_params == 6177
