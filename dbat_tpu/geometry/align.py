@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..models.rotation import decompose_w2c, world_to_cam_matrix
+from ..models.rotation import decompose_w2c_np, w2c_from_angles_np
 
 
 def rigid_align(X: np.ndarray, Y: np.ndarray, scale: bool = False):
@@ -57,10 +57,10 @@ def transform_network(project, T: np.ndarray) -> None:
         if not np.isfinite(p.eo[i]).all():
             continue
         C = p.eo[i, 0:3]
-        M = np.asarray(world_to_cam_matrix(p.eo[i, 3:6]))
+        M = w2c_from_angles_np(p.eo[i, 3:6])[0]
         p.eo[i, 0:3] = R @ C + d
         # world->cam after transform: M' = M Rpure^T
-        p.eo[i, 3:6] = np.asarray(decompose_w2c(M @ Rpure.T))
+        p.eo[i, 3:6] = decompose_w2c_np(M @ Rpure.T)
 
 
 def align_to_camera(project, cam: int = 0) -> None:
@@ -68,7 +68,7 @@ def align_to_camera(project, cam: int = 0) -> None:
     identity orientation (ref pm_multialign.m)."""
     p = project
     C = p.eo[cam, 0:3]
-    M = np.asarray(world_to_cam_matrix(p.eo[cam, 3:6]))
+    M = w2c_from_angles_np(p.eo[cam, 3:6])[0]
     T = np.eye(4)
     T[:3, :3] = M
     T[:3, 3] = -M @ C

@@ -341,11 +341,9 @@ def forward_intersect(project, ids="all", skip_prior=False):
     target = np.isin(p.op_id, ids) & do_est
 
     # Rays: camera center C, direction d = R^T Kinv [xy;1] per obs.
-    from ..models.rotation import world_to_cam_matrix
+    from ..models.rotation import w2c_from_angles_np
 
-    R = np.stack(
-        [np.asarray(world_to_cam_matrix(p.eo[i, 3:6])) for i in range(p.n_img)]
-    )
+    R = w2c_from_angles_np(p.eo[:, 3:6])
     f = p.io[:, 0]
     ppx, ppy = p.io[:, 1], p.io[:, 2]
 

@@ -29,7 +29,7 @@ import numpy as np
 
 from .essential import cams_from_e, essential_ransac
 from .initvals import forward_intersect, ideal_proj_obs
-from ..models.rotation import decompose_w2c, world_to_cam_matrix
+from ..models.rotation import decompose_w2c_np, w2c_from_angles_np
 
 
 def _normalized_obs(project):
@@ -260,10 +260,10 @@ def init_from_pose_graph(project, min_shared: int = 12,
 
     # Write EO (angles via the project's w2c convention), then
     # triangulate; chirality vote fixes the global scale sign.
+    ang_g = decompose_w2c_np(np.stack(Rg))
     for sign in (1.0, -1.0):
         p.eo[:, 0:3] = sign * C
-        for i in range(p.n_img):
-            p.eo[i, 3:6] = decompose_w2c(Rg[i])
+        p.eo[:, 3:6] = ang_g
         ids, _res = forward_intersect(p, ids="all", skip_prior=False)
         depths = _point_depths(p)
         # In-front is depth < 0 in this convention (projection uses -f;
@@ -294,7 +294,7 @@ def init_from_pose_graph(project, min_shared: int = 12,
 def _point_depths(project):
     """Depth (camera-frame z) of every observation's object point."""
     p = project
-    R = np.stack([world_to_cam_matrix(p.eo[i, 3:6]) for i in range(p.n_img)])
+    R = w2c_from_angles_np(p.eo[:, 3:6])
     Xc = np.einsum(
         "nab,nb->na", R[p.obs_img], p.op[p.obs_pt] - p.eo[p.obs_img, 0:3])
     return Xc[:, 2]

@@ -101,12 +101,11 @@ def reprojection_residuals_px(project) -> np.ndarray:
     measured-side chain evaluated at the measurement
     (initvals.ideal_proj_obs) — the same quantity the bundle residual
     minimizes, without weights."""
-    from ..models.rotation import world_to_cam_matrix
+    from ..models.rotation import w2c_from_angles_np
     from .initvals import ideal_proj_obs
 
     p = project
-    R = np.stack([np.asarray(world_to_cam_matrix(p.eo[i, 3:6]))
-                  for i in range(p.n_img)])
+    R = w2c_from_angles_np(p.eo[:, 3:6])
     Xc = np.einsum("nab,nb->na", R[p.obs_img],
                    p.op[p.obs_pt] - p.eo[p.obs_img, 0:3])
     cc = p.io[p.obs_img, 0:1]

@@ -19,6 +19,7 @@ Jacobians (replacing the reference's hand-derived Lucas-1963 products).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def r1(a):
@@ -109,3 +110,39 @@ def decompose_w2c(M):
     omega = jnp.arctan2(-M[2, 1], M[2, 2])
     kappa = jnp.arctan2(-M[1, 0], M[0, 0])
     return jnp.stack([omega, phi, kappa])
+
+
+# ---------------------------------------------------------------------------
+# Numpy twins for host-side (one-time) geometry: initial values, pose
+# graph, quality screening, plotting.  These paths run once per
+# project; dispatching thousands of tiny jitted ops to a (possibly
+# tunneled) accelerator costs an RTT each, so host code uses numpy.
+# ---------------------------------------------------------------------------
+
+def w2c_from_angles_np(ang):
+    """Stacked w2c matrices from (n,3) omega-phi-kappa angles:
+    (R1(w) @ R2(p) @ R3(k)).T — numpy twin of world_to_cam_matrix."""
+    ang = np.atleast_2d(np.asarray(ang, float))
+    w, p, k = ang[:, 0], ang[:, 1], ang[:, 2]
+    cw, sw = np.cos(w), np.sin(w)
+    cp, sp = np.cos(p), np.sin(p)
+    ck, sk = np.cos(k), np.sin(k)
+    o, z = np.ones_like(w), np.zeros_like(w)
+    R1 = np.stack([o, z, z, z, cw, -sw, z, sw, cw], -1).reshape(-1, 3, 3)
+    R2 = np.stack([cp, z, sp, z, o, z, -sp, z, cp], -1).reshape(-1, 3, 3)
+    R3 = np.stack([ck, -sk, z, sk, ck, z, z, z, o], -1).reshape(-1, 3, 3)
+    return np.transpose(R1 @ R2 @ R3, (0, 2, 1))
+
+
+def decompose_w2c_np(M):
+    """(omega, phi, kappa) rows from stacked (n,3,3) w2c matrices —
+    numpy twin of decompose_w2c (ref derotmat3d.m)."""
+    M = np.asarray(M, float)
+    one = M.ndim == 2
+    if one:
+        M = M[None]
+    phi = np.arcsin(np.clip(M[:, 2, 0], -1.0, 1.0))
+    omega = np.arctan2(-M[:, 2, 1], M[:, 2, 2])
+    kappa = np.arctan2(-M[:, 1, 0], M[:, 0, 0])
+    out = np.stack([omega, phi, kappa], axis=1)
+    return out[0] if one else out

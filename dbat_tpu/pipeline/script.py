@@ -168,6 +168,19 @@ def run_script(xml_path: str, damping: str = "gna", trace: bool = False,
                 raise RuntimeError("Resection failed")
         elif name == "forward_intersection":
             forward_intersect(s, "all", skip_prior=True)
+        elif name == "pose_graph_init":
+            # Extension beyond DBAT's op set: EO/OP from measurements
+            # alone (essential RANSAC + rotation averaging + center
+            # recovery, geometry/posegraph.py) — covers networks with
+            # too few/no control points for spatial_resection.
+            from ..geometry.posegraph import init_from_pose_graph
+
+            init_from_pose_graph(
+                s,
+                min_shared=int(el.get("min_shared", "12")),
+                ransac_iters=int(el.get("ransac_iters", "100")),
+                max_pairs_per_cam=int(el.get("max_pairs_per_cam", "8")),
+            )
         elif name == "bundle_adjustment":
             import jax.numpy as jnp
 

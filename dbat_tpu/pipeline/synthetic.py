@@ -50,27 +50,10 @@ def _look_at_w2c_np(C, target=None):
     return np.stack([x, y, z], axis=1)  # (n, 3, 3)
 
 
-def _decompose_w2c_np(M):
-    """(omega, phi, kappa) from stacked w2c matrices (n,3,3); the numpy
-    twin of models.rotation.decompose_w2c (ref derotmat3d.m)."""
-    phi = np.arcsin(np.clip(M[:, 2, 0], -1.0, 1.0))
-    omega = np.arctan2(-M[:, 2, 1], M[:, 2, 2])
-    kappa = np.arctan2(-M[:, 1, 0], M[:, 0, 0])
-    return np.stack([omega, phi, kappa], axis=1)
-
-
-def _w2c_from_angles_np(ang):
-    """Stacked w2c matrices from (n,3) omega-phi-kappa angles:
-    (R1(w) @ R2(p) @ R3(k)).T — numpy twin of rotation.euler_rotmat."""
-    w, p, k = ang[:, 0], ang[:, 1], ang[:, 2]
-    cw, sw = np.cos(w), np.sin(w)
-    cp, sp = np.cos(p), np.sin(p)
-    ck, sk = np.cos(k), np.sin(k)
-    o, z = np.ones_like(w), np.zeros_like(w)
-    R1 = np.stack([o, z, z, z, cw, -sw, z, sw, cw], -1).reshape(-1, 3, 3)
-    R2 = np.stack([cp, z, sp, z, o, z, -sp, z, cp], -1).reshape(-1, 3, 3)
-    R3 = np.stack([ck, -sk, z, sk, ck, z, z, z, o], -1).reshape(-1, 3, 3)
-    return np.transpose(R1 @ R2 @ R3, (0, 2, 1))
+from ..models.rotation import (  # noqa: E402
+    decompose_w2c_np as _decompose_w2c_np,
+    w2c_from_angles_np as _w2c_from_angles_np,
+)
 
 
 def _ray_counts(rays_per_pt, n_pt, n_img, n_obs_target, rng):

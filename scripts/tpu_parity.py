@@ -48,7 +48,7 @@ def main():
          lambda: demos.prague_sxb("s2", dtype=dtype)),
         ("sxb.psz re-adjustment", 0.710294,
          lambda: demos.ps_postproc(dtype=dtype, backend="schur",
-                                   max_iter=80, conv_tol=1e-3)),
+                                   max_iter=100, conv_tol=1e-4)),
     ]
     for name, golden, fn in cases:
         t0 = time.time()

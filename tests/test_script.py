@@ -40,3 +40,24 @@ def test_sxb_script(tmp_path):
     assert r.ok
     assert r.sigma0 == pytest.approx(1.1786, abs=2e-4)
     assert r.info.num_params == 1173
+
+
+def test_pose_graph_init_script(tmp_path):
+    """pose_graph_init op (extension beyond DBAT's op set): replaces
+    spatial_resection + forward_intersection in camcaldemo.xml; the
+    bundle must still reach the golden sigma0."""
+    import re
+
+    src = open(f"{SCRIPTS}/camcaldemo/camcaldemo.xml").read()
+    src = src.replace("<operation>spatial_resection</operation>",
+                      '<operation><pose_graph_init min_shared="10"/>'
+                      "</operation>")
+    src = src.replace("<operation>forward_intersection</operation>", "")
+    # Input paths resolve via $HERE: point it back at the original dir.
+    src = src.replace('base_dir="$HERE"',
+                      f'base_dir="{SCRIPTS}/camcaldemo"')
+    xml = tmp_path / "camcal_pg.xml"
+    xml.write_text(src)
+    r = run_script(str(xml), write_outputs=False)
+    assert r.ok
+    assert r.sigma0 == pytest.approx(1.6148, abs=2e-4)
