@@ -46,6 +46,8 @@ class BundleInfo:
     sigmas: np.ndarray = None
     final_x: np.ndarray = None  # converged x in the ops frame
     center_offset: np.ndarray = None  # world -> ops frame translation
+    sigma0_prepolish: float = None  # f64-evaluated sigma0 before polish
+    polish_iters: int = 0  # f64 host Gauss-Newton polish steps used
 
 
 def chirality_veto(ops):
@@ -95,6 +97,7 @@ def bundle(
     mesh=None,
     fused: bool = False,
     center=None,
+    polish=None,
 ):
     """Run the damped bundle adjustment on a Project.
 
@@ -107,6 +110,15 @@ def bundle(
     residual model is translation-invariant so the centered solve is
     exact).  All diagnostics (info.final_x, covariance) live in the
     centered ops frame; info.center_offset maps back to world.
+
+    `polish`: number of f64 Gauss-Newton iterations run on the host
+    CPU after an f32 chip solve (default: 2 for f32, 0 for f64).  An
+    f32 solve stalls at ~1e-4-relative parameter accuracy (arithmetic
+    noise in the normal equations; the f32 *representation* floor is
+    ~2e-7 — measured on sxb.psz); the chip does the heavy lifting and
+    the last digits come from one or two cheap f64 steps at the
+    converged point.  info.sigma0_prepolish records the f64-evaluated
+    sigma0 of the raw chip solution.
     """
     if center is None:
         center = np.dtype(dtype) == np.float32
@@ -124,12 +136,12 @@ def bundle(
     if offset is None:
         return _bundle_impl(project, damping, max_iter, conv_tol, abs_term,
                             singular_test, veto, pm_dof, trace, dtype,
-                            backend, mesh, fused)
+                            backend, mesh, fused, polish)
     _shift_network(project, -offset)
     try:
         out = _bundle_impl(project, damping, max_iter, conv_tol, abs_term,
                            singular_test, veto, pm_dof, trace, dtype,
-                           backend, mesh, fused)
+                           backend, mesh, fused, polish)
         out[4].center_offset = offset
         return out
     finally:
@@ -148,6 +160,59 @@ def _shift_network(p, d):
         p.prior_eo_val = p.prior_eo_val + d6
 
 
+def _final_eval_f64(project, spec):
+    """Re-evaluate the converged residual vector in f64 on the host CPU.
+
+    An f32 solve on the chip carries ~1e-4-relative evaluation noise in
+    the *statistic* sigma0 even when the parameters are converged (the
+    residual is a tiny difference of large projections).  sigma0 is a
+    minimum in the parameters, so evaluating once at the f32 solution
+    in f64 removes the evaluation noise while the parameter error only
+    enters quadratically — this is how the reported sigma0 matches the
+    f64 reference value (sxb-dbatreport.txt:20-21) from an f32 solve.
+
+    Returns (rw, r_unw) in the plain (unsharded) residual ordering.
+    """
+    import jax
+
+    from ..models.residuals import make_obs_residual_fn
+
+    p = project
+    model = int(np.unique(np.atleast_1d(p.dist_model))[0])
+    res_fn = make_obs_residual_fn(model, p.nK, p.nP)
+    obs_img = np.asarray(p.obs_img)
+    obs_pt = np.asarray(p.obs_pt)
+    px_obs = np.asarray(p.sensor_px_size[:, 0], np.float64)[obs_img]
+    w_ip = 1.0 / (np.asarray(p.ip_std_px, np.float64) * px_obs[:, None])
+    io = np.asarray(p.io, np.float64)
+    eo = np.asarray(p.eo, np.float64)
+    op = np.asarray(p.op, np.float64)
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        r_ip = np.asarray(
+            res_fn(io[obs_img], eo[obs_img], op[obs_pt],
+                   jnp.asarray(p.ip_px, jnp.float64), px_obs)
+        )
+        x = np.asarray(serialize(spec, io, eo, op))
+
+    def prior(vals, stds, src, obs_x):
+        vals = np.asarray(vals, np.float64).reshape(-1)
+        stds = np.asarray(stds, np.float64).reshape(-1)
+        return np.asarray(obs_x), vals[src], 1.0 / stds[src]
+
+    pio = prior(p.prior_io_val, p.prior_io_std, spec.io_obs_src, spec.io_obs_x)
+    peo = prior(p.prior_eo_val, p.prior_eo_std, spec.eo_obs_src, spec.eo_obs_x)
+    pop = prior(p.prior_op_val, p.prior_op_std, spec.op_obs_src, spec.op_obs_x)
+    prior_x = np.concatenate([pio[0], peo[0], pop[0]]).astype(np.int64)
+    prior_val = np.concatenate([pio[1], peo[1], pop[1]])
+    prior_w = np.concatenate([pio[2], peo[2], pop[2]])
+    r_pr = x[prior_x] - prior_val
+
+    r_unw = np.concatenate([r_ip.reshape(-1), r_pr])
+    rw = np.concatenate([(r_ip * w_ip).reshape(-1), r_pr * prior_w])
+    return rw, r_unw
+
+
 def _bundle_impl(
     project,
     damping: str = "gna",
@@ -162,6 +227,7 @@ def _bundle_impl(
     backend: str = "auto",
     mesh=None,
     fused: bool = False,
+    polish=None,
 ):
     damping = damping.lower()
     if damping not in ("none", "gm", "gna", "lm", "lmp"):
@@ -274,11 +340,58 @@ def _bundle_impl(
     x = jnp.asarray(res.x)
     info.final_x = np.asarray(res.x)
 
-    if ok:
+    # f64 host polish (see bundle() docstring).  Runs when the chip
+    # solve converged OR stalled at the f32 noise floor (line-search
+    # failure / iteration cap near the optimum are the expected f32
+    # endgames); a polish that converges by the same criterion makes
+    # the overall run OK.
+    if polish is None:
+        polish = 2 if np.dtype(dtype) == np.float32 and mesh is None else 0
+    can_polish = (
+        polish > 0 and np.dtype(dtype) == np.float32 and mesh is None
+        and res.x is not None
+        and res.code in (solvers.OK, solvers.TOO_MANY_ITERS,
+                         solvers.LINESEARCH_FAILED)
+    )
+    if ok or can_polish:
         io, eo, op = deserialize(spec, x, ops.base_io, ops.base_eo, ops.base_op)
+        saved = project.io, project.eo, project.op
         project.io = np.asarray(io)
         project.eo = np.asarray(eo)
         project.op = np.asarray(op)
+    if can_polish:
+        import jax
+
+        rw_pre, _ = _final_eval_f64(project, spec)
+        dof_pre = ops.n_res - ops.n_x
+        if dof_pre > 0:
+            info.sigma0_prepolish = float(
+                np.sqrt(rw_pre @ rw_pre / dof_pre))
+        with jax.default_device(jax.devices("cpu")[0]):
+            if spec.n_x <= 2000:
+                ops64 = BundleOps(project, spec, dtype=jnp.float64)
+            else:
+                from .schur import SchurOps as _S64
+
+                ops64 = _S64(project, spec, dtype=jnp.float64)
+            res_p = solvers.gauss_newton_armijo(
+                ops64, ops64.x0(), max_iter=polish, term_fun=term_fun,
+                mu=0.1, alpha_min=1e-9, singular_test=False,
+            )
+        accept = res_p.x is not None and (
+            res_p.code == solvers.OK
+            or (ok and res_p.code == solvers.TOO_MANY_ITERS))
+        if accept:
+            xp = jnp.asarray(res_p.x)
+            io, eo, op = deserialize(spec, xp, ops64.base_io,
+                                     ops64.base_eo, ops64.base_op)
+            project.io = np.asarray(io)
+            project.eo = np.asarray(eo)
+            project.op = np.asarray(op)
+            info.polish_iters = res_p.iters
+            ok = ok or res_p.code == solvers.OK
+        elif not ok:
+            project.io, project.eo, project.op = saved
 
     # Weakness forensics (bundle.m:370-446).
     info.weakness = {"structural": None, "numerical": None}
@@ -296,6 +409,10 @@ def _bundle_impl(
 
     # sigma0 (bundle.m:464-491): sqrt(r'Wr/dof).
     rw = res.final_rw
+    r_unw64 = None
+    if ok and np.dtype(dtype) == np.float32:
+        # f32 chip solve: evaluate the final statistic in f64 on host.
+        rw, r_unw64 = _final_eval_f64(project, spec)
     extra = 0
     if pm_dof:
         vis_pt = np.zeros(project.n_op, bool)
@@ -317,11 +434,14 @@ def _bundle_impl(
     info.sigmas = sigma0 * np.asarray(project.ip_sigmas)
 
     # Posterior residual scatter-back (bundle.m:448-462), in px for IP.
-    r_unw = np.asarray(ops.residuals(x))
-    if hasattr(ops, "unshard_obs_rows"):
-        n_pad2 = r_unw.shape[0] - (ops.n_res - 2 * ops.n_obs)
-        ip_res_mm = ops.unshard_obs_rows(r_unw[:n_pad2].reshape(-1, 2))
-        r_unw = np.concatenate([ip_res_mm.reshape(-1), r_unw[n_pad2:]])
+    if r_unw64 is not None:
+        r_unw = r_unw64
+    else:
+        r_unw = np.asarray(ops.residuals(x))
+        if hasattr(ops, "unshard_obs_rows"):
+            n_pad2 = r_unw.shape[0] - (ops.n_res - 2 * ops.n_obs)
+            ip_res_mm = ops.unshard_obs_rows(r_unw[:n_pad2].reshape(-1, 2))
+            r_unw = np.concatenate([ip_res_mm.reshape(-1), r_unw[n_pad2:]])
     n2 = 2 * ops.n_obs
     ip_res_mm = r_unw[:n2].reshape(-1, 2)
     px = np.asarray(ops.px_obs)

@@ -55,11 +55,16 @@ def main():
         _r, ok, iters, sigma0, info = fn()
         dt = time.time() - t0
         rel = abs(sigma0 - golden) / golden
-        passed = rel < 2e-4
+        passed = rel < 2e-4 and ok
         ok_all &= passed
-        rows.append((name, golden, sigma0, rel, iters, dt, passed))
+        pre = getattr(info, "sigma0_prepolish", None)
+        pol = getattr(info, "polish_iters", 0)
+        rows.append((name, golden, sigma0, rel, iters, pre, pol, dt,
+                     passed))
         print(f"{name:34s} sigma0={sigma0:.6f} (golden {golden}) "
-              f"rel={rel:.2e} iters={iters} {dt:.1f}s "
+              f"rel={rel:.2e} iters={iters} "
+              f"chip={pre if pre is None else format(pre, '.6f')} "
+              f"polish={pol} {dt:.1f}s "
               f"{'PASS' if passed else 'FAIL'}", flush=True)
 
     lines = [
@@ -69,21 +74,30 @@ def main():
         f"(+iterative refinement), Schur backend.",
         f"Run: {time.strftime('%Y-%m-%d %H:%M:%S')}",
         "",
-        "| Case | Golden sigma0 | TPU f32 sigma0 | rel err | iters | "
-        "wall (s) | status |",
-        "|---|---|---|---|---|---|---|",
+        "| Case | Golden sigma0 | final sigma0 | rel err | chip iters | "
+        "chip-only sigma0 | f64 polish iters | wall (s) | status |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
-    for name, golden, sigma0, rel, iters, dt, passed in rows:
+    for name, golden, sigma0, rel, iters, pre, pol, dt, passed in rows:
         lines.append(
             f"| {name} | {golden} | {sigma0:.6f} | {rel:.2e} | {iters} "
+            f"| {pre if pre is None else format(pre, '.6f')} | {pol} "
             f"| {dt:.1f} | {'PASS' if passed else 'FAIL'} |")
     lines += [
         "",
-        "Assertion: sigma0 within 2e-4 relative of the shipped DBAT "
-        "report value (camcal-dbatreport.txt:20-21, prague2016 "
-        "reports, sxb-dbatreport.txt:20-21). The f32 Schur solve uses "
-        "jitter + iterative refinement (solve/schur.py) — the answer "
-        "matches the f64 CPU path to f32 accuracy on the chip.",
+        "Assertion: converged (OK) and sigma0 within 2e-4 relative of "
+        "the shipped DBAT report value (camcal-dbatreport.txt:20-21, "
+        "prague2016 reports, sxb-dbatreport.txt:20-21).",
+        "",
+        "Pipeline: the f32 Schur solve runs on the chip (jitter + "
+        "iterative refinement, solve/schur.py); the final statistic is "
+        "evaluated in f64 on the host, and up to 2 f64 Gauss-Newton "
+        "polish steps run on the host CPU (solve/bundle.py polish) — "
+        "an f32 chip solve stalls at ~1e-4 relative parameter accuracy "
+        "(arithmetic noise; the f32 *representation* floor measured on "
+        "sxb.psz is 2e-7), so the chip does the iterations and the "
+        "host does the last digits. 'chip-only sigma0' is the "
+        "f64-evaluated sigma0 of the raw chip solution before polish.",
     ]
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "TPU_PARITY.md"), "w") as fh:
