@@ -71,7 +71,10 @@ def _get_fused_run(ops, max_iter, conv_tol, abs_term, mu, alpha_min):
 
 def _build_fused_run(ops, max_iter, conv_tol, abs_term, mu, alpha_min):
     dtype = ops.dtype
-    tol = jnp.asarray(conv_tol, dtype)
+    # numpy, not jnp: an eager device scalar captured by the closure
+    # becomes an MLIR constant whose embedding costs a device->host
+    # tunnel round-trip at lowering time.
+    tol = np.asarray(conv_tol, dtype)
 
     def one_solve(x):
         U, V, Wb, gc, gp, rw = ops._assemble_impl(x)

@@ -145,7 +145,12 @@ class BundleOps:
                 return
             seen.add(id(obj))
             for n, v in sorted(vars(obj).items()):
-                if isinstance(v, jax.Array) and v.size >= 256:
+                # Hoist EVERY device array, however small: a non-arg
+                # jax.Array becomes an MLIR constant at lowering, and
+                # embedding it calls ._value — a device->host fetch
+                # that costs a full tunnel round-trip (~10 s each over
+                # axon; 8 stray small constants = 190 s of "compile").
+                if isinstance(v, jax.Array):
                     slots.append((obj, n))
                 elif type(v).__module__.startswith("dbat_tpu"):
                     scan(v)
