@@ -373,7 +373,11 @@ def _bundle_impl(
             else:
                 from .schur import SchurOps as _S64
 
-                ops64 = _S64(project, spec, dtype=jnp.float64)
+                # use_pallas=False: the polish runs on the host CPU
+                # even when the session platform is TPU, and Pallas
+                # kernels only run on the chip.
+                ops64 = _S64(project, spec, dtype=jnp.float64,
+                             use_pallas=False)
             res_p = solvers.gauss_newton_armijo(
                 ops64, ops64.x0(), max_iter=polish, term_fun=term_fun,
                 mu=0.1, alpha_min=1e-9, singular_test=False,
