@@ -115,69 +115,95 @@ def build_view_graph(project, min_shared: int = 12, ransac_iters: int = 100,
     return edges
 
 
-def _project_so3(M):
+def _project_so3_batch(M):
+    """SO(3) projection of a (..., 3, 3) stack via batched SVD."""
     U, _, Vt = np.linalg.svd(M)
     R = U @ Vt
-    if np.linalg.det(R) < 0:
-        R = U @ np.diag([1.0, 1.0, -1.0]) @ Vt
+    neg = np.linalg.det(R) < 0
+    if np.any(neg):
+        U = U.copy()
+        U[neg, :, 2] *= -1.0
+        R = U @ Vt
     return R
 
 
-def average_rotations(n_img: int, edges, sweeps: int = 30,
+def average_rotations(n_img: int, edges, sweeps: int = 60,
                       irls_rounds: int = 3):
     """Global rotations from pairwise R_ij = R_j R_i^T.
 
-    Spanning-tree initialization, chordal-mean sweeps (each camera
-    re-estimated as the SO(3) projection of the weighted mean of its
-    neighbors' predictions, R_0 = I gauge), wrapped in IRLS rounds
-    with Cauchy reweighting of the per-edge chordal residual — a
-    minority of wrong relative rotations (RANSAC failures on
-    near-planar pairs) must not bend the solution [Hartley et al.
-    IJCV 2013; Chatterjee & Govindu ICCV 2013 robust L1/IRLS]."""
-    # nbrs[a] holds [b, Rrel, w] with R_b = Rrel @ R_a, so the
-    # prediction of R_a from neighbor b is Rrel^T @ R_b.
-    nbrs: dict = {i: [] for i in range(n_img)}
-    elist = []
-    for (i, j, R, _t, w) in edges:
-        rec = [j, R, float(w)]
-        rec2 = [i, R.T, float(w)]
-        nbrs[i].append(rec)
-        nbrs[j].append(rec2)
-        elist.append((i, j, R, rec, rec2, float(w)))
+    Spanning-tree initialization, then Jacobi-style chordal-mean
+    sweeps: every camera is simultaneously re-estimated as the SO(3)
+    projection of the weighted mean of its neighbors' predictions
+    (R_0 = I gauge), wrapped in IRLS rounds with Cauchy reweighting of
+    the per-edge chordal residual — a minority of wrong relative
+    rotations (RANSAC failures on near-planar pairs) must not bend the
+    solution [Hartley et al. IJCV 2013; Chatterjee & Govindu ICCV 2013
+    robust L1/IRLS].
 
-    Rg = [None] * n_img
+    Fully vectorized: each sweep is one batched 3x3 einsum over the
+    directed edge list, a bincount-style segment sum per target camera,
+    and one batched SVD — O(edges) numpy work with no Python loop over
+    cameras (the round-3 version was minutes of interpreter time at
+    239+ cameras; see POSEGRAPH_C5.md)."""
+    m = len(edges)
+    ei = np.array([e[0] for e in edges], dtype=np.int64)
+    ej = np.array([e[1] for e in edges], dtype=np.int64)
+    Rrel = np.stack([e[2] for e in edges])  # R_j = Rrel @ R_i
+    w0 = np.array([float(e[4]) for e in edges])
+
+    # Directed edge arrays: prediction of R_tgt from R_src is
+    # P @ R_src.  Forward (tgt=i, src=j): P = Rrel^T; backward
+    # (tgt=j, src=i): P = Rrel.
+    tgt = np.concatenate([ei, ej])
+    src = np.concatenate([ej, ei])
+    P = np.concatenate([Rrel.transpose(0, 2, 1), Rrel])
+
+    # Spanning-tree init (BFS from camera 0).
+    nbr_of = {}
+    for k in range(m):
+        nbr_of.setdefault(int(ei[k]), []).append((int(ej[k]), Rrel[k]))
+        nbr_of.setdefault(int(ej[k]), []).append((int(ei[k]), Rrel[k].T))
+    Rg = np.zeros((n_img, 3, 3))
+    seen = np.zeros(n_img, bool)
     Rg[0] = np.eye(3)
+    seen[0] = True
     queue = [0]
     while queue:
-        a = queue.pop(0)
-        for (b, Rrel, _w) in nbrs[a]:
-            if Rg[b] is None:
-                Rg[b] = Rrel @ Rg[a]
+        a = queue.pop()
+        for (b, Rab) in nbr_of.get(a, ()):  # R_b = Rab @ R_a
+            if not seen[b]:
+                Rg[b] = Rab @ Rg[a]
+                seen[b] = True
                 queue.append(b)
-    placed = sum(R is not None for R in Rg)
-    if placed < n_img:
+    if not seen.all():
         raise ValueError(
-            f"view graph disconnected: {n_img - placed} cameras "
+            f"view graph disconnected: {int((~seen).sum())} cameras "
             "unreachable from camera 0")
 
+    w = w0.copy()
     for round_ in range(irls_rounds):
+        wd = np.concatenate([w, w])
         for _ in range(sweeps):
-            for a in range(1, n_img):
-                M = np.zeros((3, 3))
-                for (b, Rrel, w) in nbrs[a]:
-                    M += w * (Rrel.T @ Rg[b])
-                if np.linalg.norm(M) > 0:
-                    Rg[a] = _project_so3(M)
+            pred = wd[:, None, None] * np.einsum(
+                "kab,kbc->kac", P, Rg[src])
+            M = np.zeros((n_img, 3, 3))
+            np.add.at(M, tgt, pred)
+            ok = np.linalg.norm(M.reshape(n_img, 9), axis=1) > 0
+            ok[0] = False  # gauge: R_0 stays I
+            Rnew = Rg.copy()
+            Rnew[ok] = _project_so3_batch(M[ok])
+            delta = np.abs(Rnew - Rg).max()
+            Rg = Rnew
+            if delta < 1e-10:
+                break
         if round_ == irls_rounds - 1:
             break
-        res = np.array([np.linalg.norm(Rg[j] - R @ Rg[i])
-                        for (i, j, R, _r1, _r2, _w) in elist])
+        res = np.linalg.norm(
+            (Rg[ej] - np.einsum("kab,kbc->kac", Rrel, Rg[ei])
+             ).reshape(m, 9), axis=1)
         sigma = max(1.4826 * np.median(res), 1e-6)
-        for res_e, (_i, _j, _R, rec, rec2, w0) in zip(res, elist):
-            w = w0 / (1.0 + (res_e / sigma) ** 2)
-            rec[2] = w
-            rec2[2] = w
-    return np.stack(Rg)
+        w = w0 / (1.0 + (res / sigma) ** 2)
+    return Rg
 
 
 def _cross_mat(t):

@@ -48,6 +48,7 @@ class BundleInfo:
     center_offset: np.ndarray = None  # world -> ops frame translation
     sigma0_prepolish: float = None  # f64-evaluated sigma0 before polish
     polish_iters: int = 0  # f64 host Gauss-Newton polish steps used
+    chip_code: int = None  # raw chip status before an accepted polish
 
 
 def chirality_veto(ops):
@@ -359,11 +360,23 @@ def _bundle_impl(
         project.io = np.asarray(io)
         project.eo = np.asarray(eo)
         project.op = np.asarray(op)
+    # pm_dof extra dof term (used for both the pre-polish and final
+    # sigma0 so the two statistics are comparable).
+    extra = 0
+    if pm_dof:
+        vis_pt = np.zeros(project.n_op, bool)
+        vis_pt[project.obs_pt] = True
+        vis_img = np.zeros(project.n_img, bool)
+        vis_img[project.obs_img] = True
+        extra = int((~project.est_op[vis_pt]).sum()) + int(
+            (~project.est_eo[vis_img][:, :6]).sum()
+        )
+
     if can_polish:
         import jax
 
         rw_pre, _ = _final_eval_f64(project, spec)
-        dof_pre = ops.n_res - ops.n_x
+        dof_pre = ops.n_res + extra - ops.n_x
         if dof_pre > 0:
             info.sigma0_prepolish = float(
                 np.sqrt(rw_pre @ rw_pre / dof_pre))
@@ -393,6 +406,17 @@ def _bundle_impl(
             project.eo = np.asarray(eo)
             project.op = np.asarray(op)
             info.polish_iters = res_p.iters
+            # Diagnostics (covariance) must factorize at the point the
+            # report describes: the polished solution, not the raw chip
+            # one.  res_p.x lives in the same centered ops frame and
+            # serialization spec as res.x.
+            info.final_x = np.asarray(res_p.x)
+            if res_p.code == solvers.OK and res.code != solvers.OK:
+                # The polish rescued a stalled f32 chip solve: the run
+                # is OK overall.  Keep the raw chip status in chip_code
+                # so the parity/report tooling can still see it.
+                info.chip_code = res.code
+                info.code = solvers.OK
             ok = ok or res_p.code == solvers.OK
         elif not ok:
             project.io, project.eo, project.op = saved
@@ -417,15 +441,6 @@ def _bundle_impl(
     if ok and np.dtype(dtype) == np.float32:
         # f32 chip solve: evaluate the final statistic in f64 on host.
         rw, r_unw64 = _final_eval_f64(project, spec)
-    extra = 0
-    if pm_dof:
-        vis_pt = np.zeros(project.n_op, bool)
-        vis_pt[project.obs_pt] = True
-        vis_img = np.zeros(project.n_img, bool)
-        vis_img[project.obs_img] = True
-        extra = int((~project.est_op[vis_pt]).sum()) + int(
-            (~project.est_eo[vis_img][:, :6]).sum()
-        )
     # Padded (sharded) residual vectors carry zero rows: count via the
     # true observation count, not len(rw).
     dof = ops.n_res + extra - ops.n_x if rw is not None else 0

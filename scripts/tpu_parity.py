@@ -63,7 +63,7 @@ def main():
                      passed))
         print(f"{name:34s} sigma0={sigma0:.6f} (golden {golden}) "
               f"rel={rel:.2e} iters={iters} "
-              f"chip={pre if pre is None else format(pre, '.6f')} "
+              f"chip={'-' if pre is None else format(pre, '.6f')} "
               f"polish={pol} {dt:.1f}s "
               f"{'PASS' if passed else 'FAIL'}", flush=True)
 
@@ -81,7 +81,7 @@ def main():
     for name, golden, sigma0, rel, iters, pre, pol, dt, passed in rows:
         lines.append(
             f"| {name} | {golden} | {sigma0:.6f} | {rel:.2e} | {iters} "
-            f"| {pre if pre is None else format(pre, '.6f')} | {pol} "
+            f"| {'-' if pre is None else format(pre, '.6f')} | {pol} "
             f"| {dt:.1f} | {'PASS' if passed else 'FAIL'} |")
     lines += [
         "",
