@@ -16,6 +16,26 @@ from .match import match_all_pairs
 from .tracks import build_tracks, project_from_tracks
 
 
+def load_images(paths):
+    """Load image files into an (n, H, W) float32 grayscale stack.
+
+    PNG (and anything else matplotlib reads) supported; RGB(A) is
+    averaged to luminance.  All images must share one size — the
+    detector batch is a single TPU array."""
+    import matplotlib.image as mpimg
+
+    out = []
+    for p in paths:
+        img = np.asarray(mpimg.imread(p), np.float32)
+        if img.ndim == 3:
+            img = img[..., :3].mean(axis=2)
+        out.append(img)
+    shapes = {im.shape for im in out}
+    if len(shapes) != 1:
+        raise ValueError(f"images differ in size: {sorted(shapes)}")
+    return np.stack(out)
+
+
 def network_from_images(images, *, focal: float, sensor: tuple,
                         detector: str = "blob", max_kp: int = 512,
                         min_views: int = 2, ratio: float = 0.9,

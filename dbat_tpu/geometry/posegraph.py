@@ -127,83 +127,118 @@ def _project_so3_batch(M):
     return R
 
 
-def average_rotations(n_img: int, edges, sweeps: int = 60,
+def _spectral_rotations(n_img, ei, ej, Rrel, w):
+    """Spectral rotation synchronization: top-3 eigenvectors of the
+    degree-normalized block matrix of relative rotations.
+
+    With R_ij = R_j R_i^T, each camera block satisfies
+    R_i = R_ij^T R_j, so the stacked 3n x 3 matrix X with X_i = R_i is
+    (noise-free) an invariant subspace of the symmetric block matrix
+    M[i,j] = w_ij R_ij^T, M[j,i] = w_ij R_ij.  The top-3 eigenvectors
+    of D^-1/2 M D^-1/2 recover X up to a global 3x3 mixing, which the
+    per-block SO(3) projection and the R_0 = I gauge remove
+    [Singer 2011 angular synchronization; Arie-Nachimson et al. 3DV
+    2012].  Direct and global: no sweep/diffusion mixing time, which
+    is what made iterated local averaging collapse on large ring
+    graphs (error diffuses O(diameter^2) sweeps)."""
+    M = np.zeros((3 * n_img, 3 * n_img))
+    deg = np.zeros(n_img)
+    Rw = w[:, None, None] * Rrel
+    for k in range(len(ei)):
+        i, j = ei[k], ej[k]
+        M[3 * i:3 * i + 3, 3 * j:3 * j + 3] += Rw[k].T
+        M[3 * j:3 * j + 3, 3 * i:3 * i + 3] += Rw[k]
+    np.add.at(deg, ei, w)
+    np.add.at(deg, ej, w)
+    dis = 1.0 / np.sqrt(np.maximum(deg, 1e-12))
+    Dh = np.repeat(dis, 3)
+    vals, vecs = np.linalg.eigh(Dh[:, None] * M * Dh[None, :])
+    X = (Dh[:, None] * vecs[:, -3:]).reshape(n_img, 3, 3).copy()
+    # The eigenvectors recover X_i = R_i Q for a common invertible Q
+    # whose sign of det is arbitrary.  polar(R_i Q) = R_i polar(Q) is
+    # block-consistent only when det Q > 0 — the per-block det<0 fix
+    # in _project_so3_batch would otherwise break synchronization.
+    # Flip one eigenvector column globally to force det Q > 0.
+    if np.median(np.linalg.det(X)) < 0:
+        X[:, :, 2] *= -1.0
+    R = _project_so3_batch(X)
+    # Global mixing removal: gauge to camera 0.
+    return np.einsum("nab,cb->nac", R, R[0])
+
+
+def average_rotations(n_img: int, edges, sweeps: int = 20,
                       irls_rounds: int = 3):
     """Global rotations from pairwise R_ij = R_j R_i^T.
 
-    Spanning-tree initialization, then Jacobi-style chordal-mean
-    sweeps: every camera is simultaneously re-estimated as the SO(3)
-    projection of the weighted mean of its neighbors' predictions
-    (R_0 = I gauge), wrapped in IRLS rounds with Cauchy reweighting of
-    the per-edge chordal residual — a minority of wrong relative
-    rotations (RANSAC failures on near-planar pairs) must not bend the
-    solution [Hartley et al. IJCV 2013; Chatterjee & Govindu ICCV 2013
-    robust L1/IRLS].
+    Spectral synchronization (global, direct — see
+    _spectral_rotations) wrapped in IRLS rounds with Cauchy
+    reweighting of the per-edge chordal residual, then a few
+    vectorized Jacobi chordal-mean sweeps for local refinement
+    (each camera re-estimated as the SO(3) projection of the weighted
+    mean of its neighbors' predictions) [Hartley et al. IJCV 2013;
+    Chatterjee & Govindu ICCV 2013 robust L1/IRLS].
 
-    Fully vectorized: each sweep is one batched 3x3 einsum over the
-    directed edge list, a bincount-style segment sum per target camera,
-    and one batched SVD — O(edges) numpy work with no Python loop over
-    cameras (the round-3 version was minutes of interpreter time at
-    239+ cameras; see POSEGRAPH_C5.md)."""
+    Fully vectorized: the spectral step is one dense 3n x 3n eigh
+    (239 cameras -> 717 x 717, milliseconds); each sweep is one
+    batched 3x3 einsum over the directed edge list, a segment sum per
+    target camera, and one batched SVD — O(edges) numpy work with no
+    Python loop over cameras (the round-3 version was minutes of
+    interpreter time at 239+ cameras; see POSEGRAPH_C5.md)."""
     m = len(edges)
     ei = np.array([e[0] for e in edges], dtype=np.int64)
     ej = np.array([e[1] for e in edges], dtype=np.int64)
     Rrel = np.stack([e[2] for e in edges])  # R_j = Rrel @ R_i
     w0 = np.array([float(e[4]) for e in edges])
 
-    # Directed edge arrays: prediction of R_tgt from R_src is
-    # P @ R_src.  Forward (tgt=i, src=j): P = Rrel^T; backward
-    # (tgt=j, src=i): P = Rrel.
-    tgt = np.concatenate([ei, ej])
-    src = np.concatenate([ej, ei])
-    P = np.concatenate([Rrel.transpose(0, 2, 1), Rrel])
-
-    # Spanning-tree init (BFS from camera 0).
-    nbr_of = {}
-    for k in range(m):
-        nbr_of.setdefault(int(ei[k]), []).append((int(ej[k]), Rrel[k]))
-        nbr_of.setdefault(int(ej[k]), []).append((int(ei[k]), Rrel[k].T))
-    Rg = np.zeros((n_img, 3, 3))
+    # Connectivity check (spectral recovery needs one component).
     seen = np.zeros(n_img, bool)
-    Rg[0] = np.eye(3)
     seen[0] = True
-    queue = [0]
-    while queue:
-        a = queue.pop()
-        for (b, Rab) in nbr_of.get(a, ()):  # R_b = Rab @ R_a
-            if not seen[b]:
-                Rg[b] = Rab @ Rg[a]
-                seen[b] = True
-                queue.append(b)
+    frontier = np.array([0])
+    adj_i = np.concatenate([ei, ej])
+    adj_j = np.concatenate([ej, ei])
+    while frontier.size:
+        nxt = np.unique(adj_j[np.isin(adj_i, frontier)])
+        nxt = nxt[~seen[nxt]]
+        seen[nxt] = True
+        frontier = nxt
     if not seen.all():
         raise ValueError(
             f"view graph disconnected: {int((~seen).sum())} cameras "
             "unreachable from camera 0")
 
-    w = w0.copy()
-    for round_ in range(irls_rounds):
-        wd = np.concatenate([w, w])
-        for _ in range(sweeps):
-            pred = wd[:, None, None] * np.einsum(
-                "kab,kbc->kac", P, Rg[src])
-            M = np.zeros((n_img, 3, 3))
-            np.add.at(M, tgt, pred)
-            ok = np.linalg.norm(M.reshape(n_img, 9), axis=1) > 0
-            ok[0] = False  # gauge: R_0 stays I
-            Rnew = Rg.copy()
-            Rnew[ok] = _project_so3_batch(M[ok])
-            delta = np.abs(Rnew - Rg).max()
-            Rg = Rnew
-            if delta < 1e-10:
-                break
-        if round_ == irls_rounds - 1:
-            break
-        res = np.linalg.norm(
+    def edge_residuals(Rg):
+        return np.linalg.norm(
             (Rg[ej] - np.einsum("kab,kbc->kac", Rrel, Rg[ei])
              ).reshape(m, 9), axis=1)
+
+    w = w0.copy()
+    Rg = None
+    for round_ in range(irls_rounds):
+        Rg = _spectral_rotations(n_img, ei, ej, Rrel, w)
+        if round_ == irls_rounds - 1:
+            break
+        res = edge_residuals(Rg)
         sigma = max(1.4826 * np.median(res), 1e-6)
         w = w0 / (1.0 + (res / sigma) ** 2)
-    return Rg
+
+    # Local chordal-mean refinement: directed edges, prediction of
+    # R_tgt from R_src is P @ R_src.
+    tgt = np.concatenate([ei, ej])
+    src = np.concatenate([ej, ei])
+    P = np.concatenate([Rrel.transpose(0, 2, 1), Rrel])
+    wd = np.concatenate([w, w])
+    for _ in range(sweeps):
+        pred = wd[:, None, None] * np.einsum("kab,kbc->kac", P, Rg[src])
+        M = np.zeros((n_img, 3, 3))
+        np.add.at(M, tgt, pred)
+        ok = np.linalg.norm(M.reshape(n_img, 9), axis=1) > 0
+        Rnew = np.where(ok[:, None, None], _project_so3_batch(M), Rg)
+        delta = np.abs(Rnew - Rg).max()
+        Rg = Rnew
+        if delta < 1e-10:
+            break
+    # Re-fix the gauge after refinement.
+    return np.einsum("nab,cb->nac", Rg, Rg[0])
 
 
 def _cross_mat(t):
@@ -251,6 +286,103 @@ def recover_centers(n_img: int, edges, Rg, irls_rounds: int = 4):
     return C
 
 
+def recover_centers_structure(project, Rg, irls_rounds: int = 3):
+    """Camera centers from ALL image observations at known global
+    rotations (the 'known-rotation problem': cameras AND points are
+    linear unknowns; points are Schur-eliminated).
+
+    Each observation of point p in camera i with world ray direction
+    u = R_i^T u_cam contributes the rank-2 constraint
+    P_u (X_p - C_i) = 0 with P_u = I - u u^T.  The normal equations
+    have 3x3 block-diagonal point blocks; eliminating them leaves the
+    3n x 3n reduced camera system S whose null space (noise-free) is
+    the 3 global translations plus the sought similarity-scale mode —
+    the solution is the smallest eigenvector of S after projecting the
+    translations out.  [Known-rotation SfM: Kahl & Hartley PAMI 2008;
+    spectral gauge handling as in Govindu CVPR 2001.]
+
+    Unlike edge-only translation averaging (recover_centers), every
+    track couples all its cameras: the conditioning does not collapse
+    with graph diameter, which is what bent 60+-camera rings (see
+    POSEGRAPH_C5.md).  IRLS rounds with Cauchy weights on the per-obs
+    residual keep wrong matches from bending the solution.
+
+    Returns (C, X): centers (n_img, 3) and points (n_op, 3) in the
+    same free gauge (zero-mean C, unit RMS C), up to global sign.
+    """
+    p = project
+    n, n_pt = p.n_img, p.n_op
+    u = _normalized_obs(p)
+    # World ray direction: Xc = R (X - C)  =>  direction R^T u_cam.
+    u_w = np.einsum("nba,nb->na", Rg[p.obs_img], u)
+    u_w /= np.linalg.norm(u_w, axis=1, keepdims=True)
+    Pu0 = np.eye(3)[None] - u_w[:, :, None] * u_w[:, None, :]
+    oi = np.asarray(p.obs_img, np.int64)
+    op = np.asarray(p.obs_pt, np.int64)
+
+    from ..solve.schur import _build_pairs
+
+    i1, i2 = _build_pairs(op)  # strict pairs of obs within each point
+
+    w_obs = np.ones(len(u_w))
+    C = X = None
+    for round_ in range(irls_rounds):
+        Pu = w_obs[:, None, None] * Pu0
+        # Point blocks and their inverses (regularized: near-parallel
+        # two-ray points must not blow up the back-substitution).
+        Npp = np.zeros((n_pt, 3, 3))
+        np.add.at(Npp, op, Pu)
+        tr = np.trace(Npp, axis1=1, axis2=2)
+        Npp_r = Npp + (1e-9 * np.maximum(tr, 1e-12))[:, None, None] \
+            * np.eye(3)[None]
+        Npp_inv = np.linalg.inv(Npp_r)
+
+        # Reduced camera system S = Ncc - Ncp Npp^-1 Npc.
+        S = np.zeros((n, n, 3, 3))
+        np.add.at(S, (oi, oi), Pu)
+        # diagonal correction per obs: P Npp^-1 P (same camera twice)
+        G = np.einsum("kab,kbc,kcd->kad", Pu, Npp_inv[op], Pu)
+        np.subtract.at(S, (oi, oi), G)
+        # off-diagonal: pairs of distinct observations of one point
+        Gp = np.einsum("kab,kbc,kcd->kad",
+                       Pu[i1], Npp_inv[op[i1]], Pu[i2])
+        np.subtract.at(S, (oi[i1], oi[i2]), Gp)
+        np.subtract.at(S, (oi[i2], oi[i1]), Gp.transpose(0, 2, 1))
+        Sf = S.transpose(0, 2, 1, 3).reshape(3 * n, 3 * n)
+
+        vals, vecs = np.linalg.eigh(Sf)
+        # 4-dim (near-)null space: 3 translations + the solution mode.
+        V4 = vecs[:, :4]
+        T = np.zeros((3 * n, 3))
+        T[0::3, 0] = T[1::3, 1] = T[2::3, 2] = 1.0
+        T /= np.sqrt(n)
+        # Component of span(V4) orthogonal to the translations: the
+        # smallest right singular vector of T' V4 spans it.
+        _u_, _s_, vt = np.linalg.svd(T.T @ V4)
+        coef = vt[-1]  # null direction of the 3x4 map (exists: 4 > 3)
+        c_vec = V4 @ coef
+        C = c_vec.reshape(n, 3)
+        C = C - C.mean(axis=0)
+        C /= max(np.sqrt((C ** 2).sum(axis=1).mean()), 1e-300)
+
+        # Back-substitute points: X_p = Npp^-1 sum_obs Pu C_i.
+        rhs = np.zeros((n_pt, 3))
+        np.add.at(rhs, op, np.einsum("kab,kb->ka", Pu, C[oi]))
+        X = np.einsum("pab,pb->pa", Npp_inv, rhs)
+
+        if round_ == irls_rounds - 1:
+            break
+        # Residual per observation at the current geometry, normalized
+        # by depth so far points do not dominate.
+        v = X[op] - C[oi]
+        depth = np.maximum(np.linalg.norm(v, axis=1), 1e-12)
+        res = np.linalg.norm(
+            np.einsum("kab,kb->ka", Pu0, v), axis=1) / depth
+        sigma = max(1.4826 * np.median(res), 1e-9)
+        w_obs = 1.0 / (1.0 + (res / sigma) ** 2)
+    return C, X
+
+
 def init_from_pose_graph(project, min_shared: int = 12,
                          ransac_iters: int = 100, threshold: float = 2e-3,
                          max_pairs_per_cam: int = 8, sweeps: int = 30,
@@ -276,13 +408,21 @@ def init_from_pose_graph(project, min_shared: int = 12,
     ctrl_target = np.concatenate(
         [fixed_vals, p.prior_op_val[prior_full]], axis=0)
 
+    import time as _time
+
+    t0 = _time.time()
     edges = build_view_graph(p, min_shared=min_shared,
                              ransac_iters=ransac_iters, threshold=threshold,
                              max_pairs_per_cam=max_pairs_per_cam, rng=rng)
+    t_graph = _time.time() - t0
     if not edges:
         raise ValueError("no view-graph edges (too few shared points?)")
+    t0 = _time.time()
     Rg = average_rotations(p.n_img, edges, sweeps=sweeps)
-    C = recover_centers(p.n_img, edges, Rg)
+    t_rot = _time.time() - t0
+    t0 = _time.time()
+    C, _X = recover_centers_structure(p, Rg)
+    t_cen = _time.time() - t0
 
     # Write EO (angles via the project's w2c convention), then
     # triangulate; chirality vote fixes the global scale sign.
@@ -314,7 +454,9 @@ def init_from_pose_graph(project, min_shared: int = 12,
 
     return {"edges": [(i, j, w) for (i, j, _R, _t, w) in edges],
             "n_edges": len(edges), "behind": n_behind,
-            "aligned_to_ctrl": aligned}
+            "aligned_to_ctrl": aligned,
+            "times": {"view_graph": t_graph, "rotations": t_rot,
+                      "centers": t_cen}}
 
 
 def _point_depths(project):

@@ -86,14 +86,20 @@ def run_script(xml_path: str, damping: str = "gna", trace: bool = False,
     )
     image_paths = [_resolve(p, im_base, doc_dir) for p in image_paths]
 
-    pts_rows = []
-    for f in inp.find("image_pts").findall("file"):
-        default_sxy = float(f.get("sxy", "nan"))
-        pts_rows.append(load_image_pts(
-            _resolve(f.text.strip(), base, doc_dir),
-            f.get("format", "im,id,x,y,sxy"), default_sxy,
-        ))
-    image_pts = np.concatenate(pts_rows, axis=0)
+    pts_el = inp.find("image_pts")
+    feat_el = inp.find("features")
+    if pts_el is None and feat_el is None:
+        raise ValueError("input needs <image_pts> or <features>")
+    image_pts = None
+    if pts_el is not None:
+        pts_rows = []
+        for f in pts_el.findall("file"):
+            default_sxy = float(f.get("sxy", "nan"))
+            pts_rows.append(load_image_pts(
+                _resolve(f.text.strip(), base, doc_dir),
+                f.get("format", "im,id,x,y,sxy"), default_sxy,
+            ))
+        image_pts = np.concatenate(pts_rows, axis=0)
 
     def load_pts_section(el):
         f = el.find("file")
@@ -123,10 +129,41 @@ def run_script(xml_path: str, damping: str = "gna", trace: bool = False,
     if meta is not None and meta.find("name") is not None:
         title = meta.find("name").text.strip()
 
-    s = project_from_tables(
-        cameras, image_ids, image_paths, image_pts,
-        ctrl_pts=ctrl, check_pts=check, title=title, file_name=xml_path,
-    )
+    if feat_el is not None:
+        # From-pixels input (no DBAT analog — loadpm.m/loadpsz.m stop
+        # at measurement-file import): detect + describe + match the
+        # actual images, build tracks, and assemble the measured
+        # network.  EO/OP start NaN-poisoned; use the pose_graph_init
+        # (or spatial_resection) operation to initialize.
+        from ..features.pipeline import load_images, network_from_images
+
+        if ctrl is not None or check is not None:
+            raise ValueError(
+                "<features> input has no point ids to match "
+                "ctrl_pts/check_pts against; use set_datum or fix "
+                "tracks by id downstream")
+        cam0 = cameras[0]
+        imgs = load_images(image_paths)
+        s, _extras = network_from_images(
+            imgs,
+            focal=cam0.camera_constant,
+            sensor=tuple(cam0.eval_sensor()),
+            detector=feat_el.get("detector", "blob"),
+            max_kp=int(feat_el.get("max_kp", "512")),
+            min_views=int(feat_el.get("min_views", "2")),
+            ratio=float(feat_el.get("ratio", "0.9")),
+            ip_std_px=float(feat_el.get("sxy", "0.1")),
+        )
+        s.title = title
+        s.file_name = xml_path
+        s.img_names = list(image_paths)
+        s.img_labels = [osp.basename(p) for p in image_paths]
+        s.img_ids = np.asarray(image_ids)
+    else:
+        s = project_from_tables(
+            cameras, image_ids, image_paths, image_pts,
+            ctrl_pts=ctrl, check_pts=check, title=title, file_name=xml_path,
+        )
     if prior_eo is not None:
         # Script prior_eo supplies initial values only
         # (parseinput.m:89-93): no observation/est changes.
@@ -181,6 +218,23 @@ def run_script(xml_path: str, damping: str = "gna", trace: bool = False,
                 ransac_iters=int(el.get("ransac_iters", "100")),
                 max_pairs_per_cam=int(el.get("max_pairs_per_cam", "8")),
             )
+        elif name == "prune_by_reprojection":
+            # Geometric outlier screening (extension op, used with the
+            # <features> input): drop observations whose reprojection
+            # residual at the current values exceeds max_px, drop
+            # points left with < min_views rays, re-triangulate.
+            from ..core.project import prune_network
+            from ..geometry.quality import reprojection_residuals_px
+
+            max_px = float(el.get("max_px", "3.0"))
+            min_views = int(el.get("min_views", "2"))
+            res_px = reprojection_residuals_px(s)
+            stats = prune_network(s, keep_obs=res_px < max_px,
+                                  min_views=min_views)
+            est_ids = s.op_id[s.est_op.any(axis=1)]
+            forward_intersect(s, ids=est_ids, skip_prior=True)
+            res.outputs.append(
+                ("prune_by_reprojection", stats["n_obs_removed"]))
         elif name == "bundle_adjustment":
             import jax.numpy as jnp
 
