@@ -72,10 +72,14 @@ class Covariance:
             if self._schur is None:
                 ops = self.ops
                 U, V, Wb, gc, gp, rw = ops._assemble(x)
-                from .smallblas import inv3x3
-
-                eye3 = jnp.eye(3, dtype=ops.dtype)
-                Vinv = inv3x3(V)
+                # Invert the 3x3 point blocks in f64 on the host: the
+                # closed-form f32 inverse loses the diagonal sign for
+                # ill-conditioned blocks (near-parallel rays), which
+                # surfaced as negative posterior variances at C5 scale
+                # (COP_C5.md round 4).  Covariance is post-processing —
+                # one (n_op, 3, 3) f64 batch inverse is microseconds.
+                Vinv = jnp.asarray(
+                    np.linalg.inv(np.asarray(V, np.float64)), ops.dtype)
                 S = ops._schur_S(U, Vinv, Wb, jnp.asarray(0.0, ops.dtype))
                 # Factor S once.
                 L = jnp.linalg.cholesky(S)
@@ -278,9 +282,12 @@ class Covariance:
             y = jax.scipy.linalg.solve_triangular(L, Ncp, lower=True)
             # G_j = Ncp_j' S^-1 Ncp_j = y_j' y_j
             y = y.reshape(n_c, q, 3)
-            G = jnp.einsum("cja,cjb->jab", y, y)
+            # Gram form: blk = V^-1 + Z'Z with Z = y V^-1 keeps the
+            # diagonal a sum of squares — non-negative in f32 by
+            # construction (the V^-1 G V^-1 triple product is not).
             Vj = Vinv[start:stop]
-            blk = Vj + jnp.einsum("jab,jbc,jcd->jad", Vj, G, Vj)
+            Z = jnp.einsum("cja,jab->cjb", y, Vj)
+            blk = Vj + jnp.einsum("cja,cjb->jab", Z, Z)
             out[start:stop] = np.asarray(blk)
 
         # Zero rows/cols of fixed coordinates (they carry the identity
@@ -301,7 +308,7 @@ class Covariance:
         blk = V^-1 + V^-1 G V^-1)."""
         import jax.lax as lax
         from jax.sharding import NamedSharding, PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         ops = self.ops
         p = self.project
@@ -356,8 +363,9 @@ class Covariance:
                 Ncp = Ncp[:n_c, :chunk].reshape(n_c, chunk * 3)
                 y = jax.scipy.linalg.solve_triangular(L, Ncp, lower=True)
                 y = y.reshape(n_c, chunk, 3)
-                G = jnp.einsum("cja,cjb->jab", y, y)
-                blk = V + jnp.einsum("jab,jbc,jcd->jad", V, G, V)
+                # Gram form (see cop()): diagonal stays non-negative.
+                Z = jnp.einsum("cja,jab->cjb", y, V)
+                blk = V + jnp.einsum("cja,cjb->jab", Z, Z)
                 return carry, blk
 
             _, blks = lax.scan(one_chunk, 0,
@@ -367,7 +375,7 @@ class Covariance:
         fn = shard_map(
             shard_fn, mesh=mesh,
             in_specs=(P(ax), P(ax), P(ax), P(ax), P(), P()),
-            out_specs=P(ax), check_rep=False)
+            out_specs=P(ax), check_vma=False)
         shard = NamedSharding(mesh, P(ax))
         rep = NamedSharding(mesh, P())
         blks = jax.jit(fn)(
