@@ -7,11 +7,16 @@ termination — inside one `lax.while_loop` under a single jit, with
 fixed-size trace buffers. Semantics match gauss_newton_armijo
 (code/bundle/lsa/gauss_newton_armijo.m): relative/absolute
 termination, mu=0.1, alpha halving down to alpha_min, status codes.
+
+All solver options (max_iter, conv_tol, abs_term, mu, alpha_min) are
+RUNTIME scalars: one compiled executable per (ops, buffer-cap) serves
+every option combination.  Baking them in as constants forced a fresh
+~3-minute XLA compile per distinct (max_iter, conv_tol) pair at
+Hamburg scale — the dominant term of round 3's cold-TTC regression
+(BENCH_r03 171 s cold vs DBAT's 11.85 s; see docs/PERF.md).
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -23,11 +28,24 @@ from .solvers import (
 )
 
 
+def _buffer_cap(max_iter: int) -> int:
+    """Trace-buffer length: 66 covers every shipped configuration
+    (<= 64 iterations); larger requests bucket to the next power of
+    two so rare long runs do not each pay a fresh compile."""
+    if max_iter + 2 <= 66:
+        return 66
+    cap = 128
+    while cap < max_iter + 2:
+        cap *= 2
+    return cap
+
+
 def fused_gna(ops, x0, max_iter: int = 20, conv_tol: float = 1e-6,
               abs_term: bool = False, mu: float = 0.1,
               alpha_min: float = 1e-9) -> SolveResult:
     """Run GNA fully on device. `ops` must be a SchurOps."""
-    run = _get_fused_run(ops, max_iter, conv_tol, abs_term, mu, alpha_min)
+    cap = _buffer_cap(max_iter)
+    run = _get_fused_run(ops, cap)
 
     # Structural check stays on host (pattern-only, one-time).
     if ops.structural_rank() < ops.n_x:
@@ -37,7 +55,15 @@ def fused_gna(ops, x0, max_iter: int = 20, conv_tol: float = 1e-6,
                           iters=0)
         return res
 
-    x, n, code, res_buf, alpha_buf, rw = run(jnp.asarray(x0))
+    dtype = ops.dtype
+    x, n, code, res_buf, alpha_buf, rw = run(
+        jnp.asarray(x0),
+        jnp.asarray(max_iter, jnp.int32),
+        jnp.asarray(conv_tol, dtype),
+        jnp.asarray(bool(abs_term)),
+        jnp.asarray(mu, dtype),
+        jnp.asarray(alpha_min, dtype),
+    )
     res = SolveResult(
         x=np.asarray(x),
         code=int(code),
@@ -53,28 +79,23 @@ def fused_gna(ops, x0, max_iter: int = 20, conv_tol: float = 1e-6,
     return res
 
 
-def _get_fused_run(ops, max_iter, conv_tol, abs_term, mu, alpha_min):
-    """The compiled device loop, cached per (ops, options): repeat
+def _get_fused_run(ops, cap):
+    """The compiled device loop, cached per (ops, buffer cap): repeat
     bundles on the same network (warm benchmark runs, covariance
-    re-adjustments) must not pay retrace+lowering again."""
-    key = (max_iter, float(conv_tol), bool(abs_term), float(mu),
-           float(alpha_min))
+    re-adjustments, different solver options) must not pay
+    retrace+lowering again."""
     cache = getattr(ops, "_fused_runs", None)
     if cache is None:
         cache = ops._fused_runs = {}
-    if key in cache:
-        return cache[key]
-    run = _build_fused_run(ops, max_iter, conv_tol, abs_term, mu, alpha_min)
-    cache[key] = run
+    if cap in cache:
+        return cache[cap]
+    run = _build_fused_run(ops, cap)
+    cache[cap] = run
     return run
 
 
-def _build_fused_run(ops, max_iter, conv_tol, abs_term, mu, alpha_min):
+def _build_fused_run(ops, cap):
     dtype = ops.dtype
-    # numpy, not jnp: an eager device scalar captured by the closure
-    # becomes an MLIR constant whose embedding costs a device->host
-    # tunnel round-trip at lowering time.
-    tol = np.asarray(conv_tol, dtype)
 
     def one_solve(x):
         U, V, Wb, gc, gp, rw = ops._assemble_impl(x)
@@ -83,7 +104,7 @@ def _build_fused_run(ops, max_iter, conv_tol, abs_term, mu, alpha_min):
         Np = ops._matvec_impl(U, V, Wb, p)
         return p, g, rw, Np
 
-    def linesearch(x, p, f0, fp0):
+    def linesearch(x, p, f0, fp0, mu, alpha_min):
         def cond(st):
             alpha, accepted, _f = st
             return (~accepted) & (alpha >= alpha_min)
@@ -101,9 +122,9 @@ def _build_fused_run(ops, max_iter, conv_tol, abs_term, mu, alpha_min):
         return jnp.where(accepted, alpha, 0.0)
 
     @with_highest_precision
-    def run(x0):
-        res_buf = jnp.full(max_iter + 2, jnp.nan, dtype)
-        alpha_buf = jnp.full(max_iter + 1, jnp.nan, dtype)
+    def run(x0, max_iter, tol, abs_term, mu, alpha_min):
+        res_buf = jnp.full(cap, jnp.nan, dtype)
+        alpha_buf = jnp.full(cap, jnp.nan, dtype)
 
         def cond(st):
             x, n, code, done, res_buf, alpha_buf = st
@@ -119,7 +140,8 @@ def _build_fused_run(ops, max_iter, conv_tol, abs_term, mu, alpha_min):
 
             f0 = 0.5 * rnorm**2
             fp0 = g @ p
-            alpha = jnp.where(term, 0.0, linesearch(x, p, f0, fp0))
+            alpha = jnp.where(
+                term, 0.0, linesearch(x, p, f0, fp0, mu, alpha_min))
             x_new = jnp.where(term, x, x + alpha * p)
             fail_ls = (~term) & (alpha == 0.0)
             # Converged-at-the-numerical-floor rule (see
@@ -150,5 +172,5 @@ def _build_fused_run(ops, max_iter, conv_tol, abs_term, mu, alpha_min):
 
     # Constant-hoisted jit: the static plans are passed as arguments,
     # not baked into the HLO (see BundleOps.hoisted_jit) — at Hamburg
-    # scale this cuts the TPU compile from minutes to seconds.
+    # scale this cuts the TPU lowering from minutes to seconds.
     return ops.hoisted_jit(run)
