@@ -104,11 +104,14 @@ def main():
                           abs_term=True)
         warm_ttc = min(warm_ttc, time.time() - t0)
 
-    # --- Throughput: fixed 10 damped iterations (no early exit). ------
+    # --- Throughput: fixed 10 damped iterations (no early exit; the
+    # f32 floor-stall rule is disabled so all 10 run). ----------------
     n_fixed = 10
-    res_t = fused_gna(ops, x0, max_iter=n_fixed, conv_tol=0.0)  # compile
+    res_t = fused_gna(ops, x0, max_iter=n_fixed, conv_tol=0.0,
+                      stall_tol=-1.0)  # compile
     t0 = time.time()
-    res_t = fused_gna(ops, x0, max_iter=n_fixed, conv_tol=0.0)
+    res_t = fused_gna(ops, x0, max_iter=n_fixed, conv_tol=0.0,
+                      stall_tol=-1.0)
     fixed_time = time.time() - t0
     iters_per_s = res_t.iters / fixed_time
 

@@ -42,10 +42,18 @@ def _buffer_cap(max_iter: int) -> int:
 
 def fused_gna(ops, x0, max_iter: int = 20, conv_tol: float = 1e-6,
               abs_term: bool = False, mu: float = 0.1,
-              alpha_min: float = 1e-9) -> SolveResult:
-    """Run GNA fully on device. `ops` must be a SchurOps."""
+              alpha_min: float = 1e-9, stall_tol: float = None
+              ) -> SolveResult:
+    """Run GNA fully on device. `ops` must be a SchurOps.
+
+    `stall_tol`: f32 floor-stall threshold (two consecutive iterations
+    with relative residual decrease below it terminate OK).  Default:
+    3e-5 for f32, disabled for f64.  Pass a negative value to disable
+    (e.g. fixed-iteration throughput benchmarks)."""
     cap = _buffer_cap(max_iter)
     run = _get_fused_run(ops, cap)
+    if stall_tol is None:
+        stall_tol = 3e-5 if ops.dtype == jnp.float32 else -1.0
 
     # Structural check stays on host (pattern-only, one-time).
     if ops.structural_rank() < ops.n_x:
@@ -63,6 +71,7 @@ def fused_gna(ops, x0, max_iter: int = 20, conv_tol: float = 1e-6,
         jnp.asarray(bool(abs_term)),
         jnp.asarray(mu, dtype),
         jnp.asarray(alpha_min, dtype),
+        jnp.asarray(stall_tol, dtype),
     )
     res = SolveResult(
         x=np.asarray(x),
@@ -121,22 +130,30 @@ def _build_fused_run(ops, cap):
         )
         return jnp.where(accepted, alpha, 0.0)
 
+    # f32 floor-stall rule (cf. solvers.gauss_newton_armijo): two
+    # consecutive iterations with relative residual decrease below
+    # stall_tol terminate OK — an f32 solve cannot certify the
+    # relative step criterion at DBAT's tolerances.  stall_tol is a
+    # runtime scalar (negative = disabled).
     @with_highest_precision
-    def run(x0, max_iter, tol, abs_term, mu, alpha_min):
+    def run(x0, max_iter, tol, abs_term, mu, alpha_min, stall_tol):
         res_buf = jnp.full(cap, jnp.nan, dtype)
         alpha_buf = jnp.full(cap, jnp.nan, dtype)
 
         def cond(st):
-            x, n, code, done, res_buf, alpha_buf = st
+            x, n, code, done, res_buf, alpha_buf, prev_rn, stall = st
             return (~done) & (code == OK)
 
         def body(st):
-            x, n, code, done, res_buf, alpha_buf = st
+            x, n, code, done, res_buf, alpha_buf, prev_rn, stall = st
             p, g, rw, Np = one_solve(x)
             rnorm = jnp.sqrt(rw @ rw)
             res_buf = res_buf.at[n].set(rnorm)
             jp_norm = jnp.sqrt(jnp.maximum(p @ Np, 0.0))
+            stalled = prev_rn - rnorm <= stall_tol * prev_rn
+            stall = jnp.where(stalled, stall + 1, 0).astype(jnp.int32)
             term = jnp.where(abs_term, rnorm <= tol, jp_norm <= tol * rnorm)
+            term = term | (stall >= 2)
 
             f0 = 0.5 * rnorm**2
             fp0 = g @ p
@@ -160,13 +177,15 @@ def _build_fused_run(ops, cap):
                 fail_ls, LINESEARCH_FAILED,
                 jnp.where(over, TOO_MANY_ITERS, OK)
             ).astype(jnp.int32)
-            return (x_new, n_new, code, term | at_floor, res_buf, alpha_buf)
+            return (x_new, n_new, code, term | at_floor, res_buf,
+                    alpha_buf, rnorm, stall)
 
         state = (x0, jnp.asarray(0, jnp.int32), jnp.asarray(OK, jnp.int32),
-                 jnp.asarray(False), res_buf, alpha_buf)
-        x, n, code, done, res_buf, alpha_buf = jax.lax.while_loop(
-            cond, body, state
-        )
+                 jnp.asarray(False), res_buf, alpha_buf,
+                 jnp.asarray(jnp.finfo(dtype).max, dtype),
+                 jnp.asarray(0, jnp.int32))
+        x, n, code, done, res_buf, alpha_buf, _prev_rn, _stall = \
+            jax.lax.while_loop(cond, body, state)
         rw = ops._weighted_residual(x)
         return x, n, code, res_buf, alpha_buf, rw
 

@@ -571,15 +571,32 @@ class SchurOps(BundleOps):
         d = jnp.where(d > 0, d, 1.0)
         Dinv = 1.0 / d
         Ss = S * Dinv[:, None] * Dinv[None, :]
-        # f32: the explicit S = U - sum(W V^-1 W') cancels ~3 decades,
-        # so the scaled matrix carries O(1e-4) error and can be
-        # indefinite at that level. Jitter above the error floor keeps
+        # f32: the explicit S = U - sum(W V^-1 W') cancels decades, so
+        # the scaled matrix carries roundoff (measured ~1e-6 on real
+        # networks) and can be indefinite at that level.  Jitter keeps
         # Cholesky alive; refinement against the unjittered Ss recovers
-        # the achievable f32 accuracy.
+        # accuracy — but ONLY for modes with eigenvalue >> jitter: the
+        # refinement contraction per step is eps/(lam+eps).  A fixed
+        # 1e-3 jitter swamped the weak modes of well-scaled aerial
+        # blocks (sxb scaled cond 1.25e5: contraction 0.99, 41 chip
+        # iterations crawling; round-3 Weak #5).  Ladder: try a jitter
+        # just above the f32 assembly-error floor; only if Cholesky
+        # breaks down (NaN) fall back to the conservative level.
         f32 = self.dtype == jnp.float32
-        eps = jnp.asarray(1e-3 if f32 else 0.0, self.dtype)
-        Sj = Ss + eps * jnp.eye(nc, dtype=self.dtype)
-        L = jnp.linalg.cholesky(Sj)
+        if f32:
+            eye = jnp.eye(nc, dtype=self.dtype)
+
+            def try_chol(eps, fallback):
+                Lt = jnp.linalg.cholesky(Ss + eps * eye)
+                return jax.lax.cond(jnp.isnan(Lt).any(),
+                                    fallback, lambda: Lt)
+
+            L = try_chol(
+                3e-6,
+                lambda: try_chol(
+                    1e-4, lambda: jnp.linalg.cholesky(Ss + 1e-3 * eye)))
+        else:
+            L = jnp.linalg.cholesky(Ss)
 
         def tri_solve(b):
             y = jax.scipy.linalg.solve_triangular(L, b, lower=True)
