@@ -188,6 +188,13 @@ def cams_from_e(E: np.ndarray, x1=None, x2=None):
         x1 = np.vstack([x1, np.ones(x1.shape[1])])
     if x2.shape[0] == 2:
         x2 = np.vstack([x2, np.ones(x2.shape[1])])
+    # The chirality vote only needs a sample: 24 triangulations decide
+    # between 4 candidates with overwhelming margin (the full per-point
+    # loop was the hot spot of the 239-camera view-graph build).
+    if x1.shape[1] > 24:
+        step = x1.shape[1] // 24
+        x1 = x1[:, ::step][:, :24]
+        x2 = x2[:, ::step][:, :24]
 
     best = None
     best_count = -1
@@ -240,13 +247,28 @@ def essential_ransac(x1, x2, threshold: float = 1e-3, iters: int = 200,
     n = x1.shape[1]
     best_E, best_inl = None, np.zeros(n, dtype=bool)
     best_score = np.inf
-    for _ in range(iters):
+    # Adaptive termination [Fischler & Bolles 1981 / Hartley-Zisserman
+    # alg. 4.5]: stop once enough samples were drawn to contain an
+    # all-inlier 5-tuple with 99.9% confidence at the current inlier
+    # ratio.  On clean networks (inlier ratio ~1) this is 1-2
+    # iterations instead of the fixed budget — the dominant cost of
+    # the large-network view-graph build (POSEGRAPH_C5.md).
+    need = iters
+    it = 0
+    while it < min(iters, need):
         sel = rng.choice(n, 5, replace=False)
         for E in essential_5pt(x1[:, sel], x2[:, sel]):
             d = _sampson(E, x1, x2)
             score = np.minimum(d, threshold).sum()
             if score < best_score:
                 best_E, best_inl, best_score = E, d < threshold, score
+                w = best_inl.mean()
+                if w >= 1.0 - 1e-12:
+                    need = 1
+                elif w > 0:
+                    need = int(np.ceil(np.log(1e-3)
+                                       / np.log(1.0 - w ** 5 + 1e-300)))
+        it += 1
     return best_E, best_inl
 
 

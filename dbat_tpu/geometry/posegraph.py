@@ -324,31 +324,39 @@ def recover_centers_structure(project, Rg, irls_rounds: int = 3):
 
     i1, i2 = _build_pairs(op)  # strict pairs of obs within each point
 
+    def _accum_blocks(idx, blocks, n_bins):
+        """Sum (k, 3, 3) blocks into bins: returns (n_bins, 3, 3).
+        bincount per component — orders of magnitude faster than
+        np.add.at for the millions of within-point pairs at C5 scale."""
+        B = blocks.reshape(-1, 9)
+        out = np.empty((9, n_bins))
+        for c in range(9):
+            out[c] = np.bincount(idx, weights=B[:, c], minlength=n_bins)
+        return out.reshape(3, 3, n_bins).transpose(2, 0, 1)
+
     w_obs = np.ones(len(u_w))
     C = X = None
     for round_ in range(irls_rounds):
         Pu = w_obs[:, None, None] * Pu0
         # Point blocks and their inverses (regularized: near-parallel
         # two-ray points must not blow up the back-substitution).
-        Npp = np.zeros((n_pt, 3, 3))
-        np.add.at(Npp, op, Pu)
+        Npp = _accum_blocks(op, Pu, n_pt)
         tr = np.trace(Npp, axis1=1, axis2=2)
         Npp_r = Npp + (1e-9 * np.maximum(tr, 1e-12))[:, None, None] \
             * np.eye(3)[None]
         Npp_inv = np.linalg.inv(Npp_r)
 
-        # Reduced camera system S = Ncc - Ncp Npp^-1 Npc.
-        S = np.zeros((n, n, 3, 3))
-        np.add.at(S, (oi, oi), Pu)
-        # diagonal correction per obs: P Npp^-1 P (same camera twice)
+        # Reduced camera system S = Ncc - Ncp Npp^-1 Npc, accumulated
+        # into (n*n) bins keyed by camera pair.
         G = np.einsum("kab,kbc,kcd->kad", Pu, Npp_inv[op], Pu)
-        np.subtract.at(S, (oi, oi), G)
-        # off-diagonal: pairs of distinct observations of one point
         Gp = np.einsum("kab,kbc,kcd->kad",
                        Pu[i1], Npp_inv[op[i1]], Pu[i2])
-        np.subtract.at(S, (oi[i1], oi[i2]), Gp)
-        np.subtract.at(S, (oi[i2], oi[i1]), Gp.transpose(0, 2, 1))
-        Sf = S.transpose(0, 2, 1, 3).reshape(3 * n, 3 * n)
+        S = _accum_blocks(oi * n + oi, Pu - G, n * n)
+        S -= _accum_blocks(oi[i1] * n + oi[i2], Gp, n * n)
+        S -= _accum_blocks(oi[i2] * n + oi[i1],
+                           Gp.transpose(0, 2, 1), n * n)
+        Sf = S.reshape(n, n, 3, 3).transpose(0, 2, 1, 3).reshape(
+            3 * n, 3 * n)
 
         vals, vecs = np.linalg.eigh(Sf)
         # 4-dim (near-)null space: 3 translations + the solution mode.
@@ -366,8 +374,10 @@ def recover_centers_structure(project, Rg, irls_rounds: int = 3):
         C /= max(np.sqrt((C ** 2).sum(axis=1).mean()), 1e-300)
 
         # Back-substitute points: X_p = Npp^-1 sum_obs Pu C_i.
-        rhs = np.zeros((n_pt, 3))
-        np.add.at(rhs, op, np.einsum("kab,kb->ka", Pu, C[oi]))
+        pc = np.einsum("kab,kb->ka", Pu, C[oi])
+        rhs = np.stack([np.bincount(op, weights=pc[:, c],
+                                    minlength=n_pt) for c in range(3)],
+                       axis=1)
         X = np.einsum("pab,pb->pa", Npp_inv, rhs)
 
         if round_ == irls_rounds - 1:

@@ -81,9 +81,33 @@ class Covariance:
                 Vinv = jnp.asarray(
                     np.linalg.inv(np.asarray(V, np.float64)), ops.dtype)
                 S = ops._schur_S(U, Vinv, Wb, jnp.asarray(0.0, ops.dtype))
-                # Factor S once.
-                L = jnp.linalg.cholesky(S)
-                self._schur = {"Vinv": Vinv, "Wb": Wb, "L": L}
+                # Factor S once — Jacobi-scaled, in f64 on the host
+                # with a jitter ladder.  A raw f32 device Cholesky of
+                # the unscaled S breaks down at Hamburg scale (f32
+                # assembly noise makes S slightly indefinite), which
+                # propagated NaN into every posterior block (COP_C5.md
+                # round 4).  S is n_c x n_c (1,442 at C5): host f64 is
+                # milliseconds.  Extraction paths scale their RHS by
+                # Dinv: S^-1 = Dinv Ss^-1 Dinv.
+                S_h = np.asarray(S, np.float64)
+                S_h = 0.5 * (S_h + S_h.T)
+                dd = np.sqrt(np.clip(np.diag(S_h), 1e-300, None))
+                Ss = S_h / np.outer(dd, dd)
+                eye = np.eye(len(Ss))
+                for jit_ in (0.0, 1e-10, 1e-8, 1e-6, 1e-4):
+                    try:
+                        L_h = np.linalg.cholesky(Ss + jit_ * eye)
+                        break
+                    except np.linalg.LinAlgError:
+                        continue
+                else:
+                    raise np.linalg.LinAlgError(
+                        "reduced camera system is numerically singular")
+                self._schur = {
+                    "Vinv": Vinv, "Wb": Wb,
+                    "L": jnp.asarray(L_h, ops.dtype),
+                    "Dinv": jnp.asarray(1.0 / dd, ops.dtype),
+                }
         else:
             if self._dense_inv is None:
                 st = self.ops.normal(x)
@@ -97,10 +121,13 @@ class Covariance:
         if self._dense_inv is not None:
             return np.asarray(self._dense_inv)[np.ix_(idx, idx)]
         L = self._schur["L"]
+        Dinv = self._schur["Dinv"]
         rhs = jnp.zeros((L.shape[0], len(idx)), L.dtype)
-        rhs = rhs.at[jnp.asarray(idx), jnp.arange(len(idx))].set(1.0)
+        rhs = rhs.at[jnp.asarray(idx), jnp.arange(len(idx))].set(
+            Dinv[jnp.asarray(idx)])
         y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
-        blk = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+        blk = Dinv[:, None] * jax.scipy.linalg.solve_triangular(
+            L.T, y, lower=False)
         return np.asarray(blk)[idx, :]
 
     def _gather_block(self, x_idx_row):
@@ -211,6 +238,7 @@ class Covariance:
         # Right-multiply each point column block by V_j^-1.
         Vs = Vinv[jnp.asarray(pts)]  # (k,3,3)
         NV = jnp.einsum("cja,jab->cjb", Ncp[:n_c], Vs).reshape(n_c, 3 * k)
+        NV = self._schur["Dinv"][:, None] * NV
         y = jax.scipy.linalg.solve_triangular(L, NV, lower=True)
         out = np.array(y.T @ y)  # (3k, 3k), writable host copy
         # Block-diagonal V^-1 term.
@@ -274,20 +302,23 @@ class Covariance:
             cc = cam_cols[sel]
             cc = np.where(cc >= 0, cc, n_c)
             Ncp = jnp.zeros((n_c + 1, q, 3), L.dtype)
-            Wsel = Wb[jnp.asarray(sel)]  # (m, n_cb, 3)
+            # Fold V^-1 into the coupling blocks per OBSERVATION before
+            # the scatter (n_obs 3x3 matmuls — 10x cheaper than the
+            # per-(camera, point) Z = y V^-1 it replaces), so the final
+            # block is the Gram y'y: its diagonal is a sum of squares,
+            # non-negative in f32 by construction (the V^-1 G V^-1
+            # triple product is not).
+            W2 = jnp.einsum("kab,kbc->kac", Wb[jnp.asarray(sel)],
+                            Vinv[jnp.asarray(obs_pt[sel])])
             Ncp = Ncp.at[jnp.asarray(cc), jnp.asarray(local_pt)[:, None]].add(
-                Wsel
+                W2
             )
-            Ncp = Ncp[:n_c].reshape(n_c, q * 3)
+            Ncp = self._schur["Dinv"][:, None] * Ncp[:n_c].reshape(
+                n_c, q * 3)
             y = jax.scipy.linalg.solve_triangular(L, Ncp, lower=True)
-            # G_j = Ncp_j' S^-1 Ncp_j = y_j' y_j
             y = y.reshape(n_c, q, 3)
-            # Gram form: blk = V^-1 + Z'Z with Z = y V^-1 keeps the
-            # diagonal a sum of squares — non-negative in f32 by
-            # construction (the V^-1 G V^-1 triple product is not).
             Vj = Vinv[start:stop]
-            Z = jnp.einsum("cja,jab->cjb", y, Vj)
-            blk = Vj + jnp.einsum("cja,cjb->jab", Z, Z)
+            blk = Vj + jnp.einsum("cja,cjb->jab", y, y)
             out[start:stop] = np.asarray(blk)
 
         # Zero rows/cols of fixed coordinates (they carry the identity
@@ -351,21 +382,24 @@ class Covariance:
         Vj = jnp.concatenate(
             [Vinv, jnp.zeros((n_pad - n_op, 3, 3), dtype)], axis=0
         ).reshape(n_chunks, chunk, 3, 3)
+        # Fold V^-1 into the coupling blocks per observation (see
+        # cop()): the chunk Gram y'y then has a non-negative diagonal.
+        Wv = jnp.einsum("kab,kbc->kac", Wb.astype(dtype),
+                        Vinv[jnp.asarray(obs_pt)].astype(dtype))
         Wb_pad = jnp.concatenate(
-            [Wb.astype(dtype), jnp.zeros((1, n_cb, 3), dtype)], axis=0)
+            [Wv, jnp.zeros((1, n_cb, 3), dtype)], axis=0)
 
-        def shard_fn(obs_sel, ccs, lpts, Vj, Wb_pad, L):
+        def shard_fn(obs_sel, ccs, lpts, Vj, Wb_pad, L, Dinv):
             def one_chunk(carry, inp):
                 osel, cc, lpt, V = inp
                 W = Wb_pad[osel]  # (S_co, n_cb, 3)
                 Ncp = jnp.zeros((n_c + 1, chunk + 1, 3), dtype)
                 Ncp = Ncp.at[cc, lpt[:, None]].add(W)
-                Ncp = Ncp[:n_c, :chunk].reshape(n_c, chunk * 3)
+                Ncp = Dinv[:, None] * Ncp[:n_c, :chunk].reshape(
+                    n_c, chunk * 3)
                 y = jax.scipy.linalg.solve_triangular(L, Ncp, lower=True)
                 y = y.reshape(n_c, chunk, 3)
-                # Gram form (see cop()): diagonal stays non-negative.
-                Z = jnp.einsum("cja,jab->cjb", y, V)
-                blk = V + jnp.einsum("cja,cjb->jab", Z, Z)
+                blk = V + jnp.einsum("cja,cjb->jab", y, y)
                 return carry, blk
 
             _, blks = lax.scan(one_chunk, 0,
@@ -374,7 +408,7 @@ class Covariance:
 
         fn = shard_map(
             shard_fn, mesh=mesh,
-            in_specs=(P(ax), P(ax), P(ax), P(ax), P(), P()),
+            in_specs=(P(ax), P(ax), P(ax), P(ax), P(), P(), P()),
             out_specs=P(ax), check_vma=False)
         shard = NamedSharding(mesh, P(ax))
         rep = NamedSharding(mesh, P())
@@ -385,6 +419,7 @@ class Covariance:
             jax.device_put(Vj, shard),
             jax.device_put(Wb_pad, rep),
             jax.device_put(L, rep),
+            jax.device_put(self._schur["Dinv"], rep),
         )
         return np.asarray(blks).reshape(n_pad, 3, 3)[:n_op]
 
