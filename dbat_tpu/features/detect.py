@@ -155,3 +155,48 @@ def detect_corners(images, max_kp: int = 512, sigma_d: float = 1.0,
     return _detect_corners(images, max_kp, float(sigma_d), float(sigma_i),
                            float(k), int(min_distance),
                            float(threshold_rel), int(border))
+
+
+def refine_centroid(images, xy, valid, radius: int = 12, iters: int = 3):
+    """Background-subtracted intensity-centroid refinement of detected
+    blob positions (the classical dot-target measurement: PhotoModeler
+    marks circular targets the same way; LoG peak localization alone
+    is only good to ~0.5-1 px on large real targets).
+
+    images: (n, H, W) float, bright-target polarity (same array handed
+    to detect_blobs).  xy/valid: detector output.  Host-side numpy —
+    a few hundred windows per image.
+
+    Returns refined xy (n, max_kp, 2); rows that leave the image or
+    have no positive mass keep the detector position."""
+    images = np.asarray(images)
+    xy = np.asarray(xy).copy()
+    valid = np.asarray(valid)
+    n, H, W = images.shape
+    r = int(radius)
+    ax = np.arange(-r, r + 1, dtype=np.float64)
+    inside = (ax[None, :] ** 2 + ax[:, None] ** 2) <= r * r
+    for i in range(n):
+        img = images[i]
+        for k in np.flatnonzero(valid[i]):
+            x, y = xy[i, k]
+            for _ in range(iters):
+                cx, cy = int(round(x)), int(round(y))
+                if not (r <= cx < W - r and r <= cy < H - r):
+                    break
+                win = img[cy - r:cy + r + 1, cx - r:cx + r + 1]
+                border_med = np.median(
+                    np.concatenate([win[0], win[-1], win[:, 0],
+                                    win[:, -1]]))
+                w = np.clip(win - border_med, 0.0, None) * inside
+                m = w.sum()
+                if m <= 0:
+                    break
+                nx = cx + (w.sum(axis=0) * ax).sum() / m
+                ny = cy + (w.sum(axis=1) * ax).sum() / m
+                if abs(nx - x) < 1e-4 and abs(ny - y) < 1e-4:
+                    x, y = nx, ny
+                    break
+                x, y = nx, ny
+            xy[i, k] = (x, y)
+    return xy

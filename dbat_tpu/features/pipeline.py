@@ -50,9 +50,17 @@ def network_from_images(images, *, focal: float, sensor: tuple,
     images = np.asarray(images, np.float32)
     n_img, H, W = images.shape
     det = detect_blobs if detector == "blob" else detect_corners
+    refine_radius = detect_kw.pop("refine_radius", None)
     xy, score, valid = det(images, max_kp=max_kp, **detect_kw)
     xy = np.asarray(xy)
     valid = np.asarray(valid)
+    if refine_radius:
+        # Real large circular targets: background-subtracted intensity
+        # centroid (LoG peak alone is ~0.5-1 px on 40 px dots; see
+        # tests/test_features_real.py).
+        from .detect import refine_centroid
+
+        xy = refine_centroid(images, xy, valid, radius=int(refine_radius))
     desc = describe(images, xy, valid, grid=grid, spacing=spacing)
     matches = match_all_pairs(desc, valid, pairs=pairs, ratio=ratio)
     tracks = build_tracks(matches, n_img, max_kp, min_views=min_views)

@@ -144,6 +144,15 @@ def run_script(xml_path: str, damping: str = "gna", trace: bool = False,
                 "tracks by id downstream")
         cam0 = cameras[0]
         imgs = load_images(image_paths)
+        if feat_el.get("invert", "no") == "yes":
+            imgs = imgs.max() - imgs  # dark targets on light background
+        extra_kw = {}
+        if feat_el.get("sigma"):
+            extra_kw["sigma"] = float(feat_el.get("sigma"))
+        if feat_el.get("min_distance"):
+            extra_kw["min_distance"] = int(feat_el.get("min_distance"))
+        if feat_el.get("refine_radius"):
+            extra_kw["refine_radius"] = int(feat_el.get("refine_radius"))
         s, _extras = network_from_images(
             imgs,
             focal=cam0.camera_constant,
@@ -153,6 +162,7 @@ def run_script(xml_path: str, damping: str = "gna", trace: bool = False,
             min_views=int(feat_el.get("min_views", "2")),
             ratio=float(feat_el.get("ratio", "0.9")),
             ip_std_px=float(feat_el.get("sxy", "0.1")),
+            **extra_kw,
         )
         s.title = title
         s.file_name = xml_path
