@@ -255,7 +255,12 @@ def essential_ransac(x1, x2, threshold: float = 1e-3, iters: int = 200,
     # the large-network view-graph build (POSEGRAPH_C5.md).
     need = iters
     it = 0
-    while it < min(iters, need):
+    # Floor of 3 samples: MSAC score comparison needs competing
+    # hypotheses — on low-noise data several candidate E's can fit
+    # every point inside the threshold and the first sampled one may
+    # be the wrong (e.g. near-planar-degenerate) solution.
+    min_samples = min(3, iters)
+    while it < min(iters, max(need, min_samples)):
         sel = rng.choice(n, 5, replace=False)
         for E in essential_5pt(x1[:, sel], x2[:, sel]):
             d = _sampson(E, x1, x2)

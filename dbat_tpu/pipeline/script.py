@@ -90,6 +90,10 @@ def run_script(xml_path: str, damping: str = "gna", trace: bool = False,
     feat_el = inp.find("features")
     if pts_el is None and feat_el is None:
         raise ValueError("input needs <image_pts> or <features>")
+    if pts_el is not None and feat_el is not None:
+        raise ValueError(
+            "input has BOTH <image_pts> and <features>; measurements "
+            "would silently lose to detector output — remove one")
     image_pts = None
     if pts_el is not None:
         pts_rows = []

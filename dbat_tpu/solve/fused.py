@@ -159,13 +159,21 @@ def _build_fused_run(ops, cap):
             fp0 = g @ p
             alpha = jnp.where(
                 term, 0.0, linesearch(x, p, f0, fp0, mu, alpha_min))
-            x_new = jnp.where(term, x, x + alpha * p)
+            # Keep x untouched whenever no step is taken: x + 0 * p
+            # would propagate NaN from a failed (singular) step into
+            # the iterate.
+            take = (~term) & (alpha > 0.0)
+            x_new = jnp.where(take, x + alpha * p, x)
             fail_ls = (~term) & (alpha == 0.0)
             # Converged-at-the-numerical-floor rule (see
             # solvers.gauss_newton_armijo): a failed linesearch with
-            # ||Jp|| within FLOOR_FACTOR of the threshold terminates OK.
+            # ||Jp|| within FLOOR_FACTOR of the relative threshold
+            # terminates OK.  Under the ABSOLUTE criterion the host
+            # term_fun ignores ||Jp|| entirely, so the floor test is
+            # the plain rnorm <= tol — a 100x slack there would
+            # declare success two decades above the requested floor.
             at_floor = fail_ls & jnp.where(
-                abs_term, rnorm <= FLOOR_FACTOR * tol,
+                abs_term, rnorm <= tol,
                 jp_norm <= FLOOR_FACTOR * tol * rnorm)
             n_new = (n + jnp.where(term, 0, 1)).astype(jnp.int32)
             alpha_buf = jnp.where(

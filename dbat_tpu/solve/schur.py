@@ -557,6 +557,18 @@ class SchurOps(BundleOps):
         nc = self.n_c
         rc, rp = self.split_x(rhs)
         eyel = lam * jnp.eye(3, dtype=self.dtype) * self.op_mask[:, :, None]
+        if self.dtype == jnp.float32:
+            # Trace-relative floor on the point blocks: a degenerate
+            # 2-ray point (near-parallel rays) has cond(V) beyond f32;
+            # the closed-form inverse then loses definiteness at
+            # roundoff and the chol3x3(Vinv) whitening inside
+            # _schur_S turns NaN (cond x eps_f32 must stay << 1, so
+            # cap the condition at ~1e5).  The floor only biases the
+            # step on points whose depth direction is numerically
+            # unobservable anyway.
+            tr = V[:, 0, 0] + V[:, 1, 1] + V[:, 2, 2]
+            eyel = eyel + (1e-5 * tr)[:, None, None] * jnp.eye(
+                3, dtype=self.dtype) * self.op_mask[:, :, None]
         Vinv = inv3x3(V + eyel)
 
         S = self._schur_S(U, Vinv, Wb, lam)
@@ -567,7 +579,13 @@ class SchurOps(BundleOps):
         # unit-diagonal scaled matrix with a small jitter and recover
         # accuracy with iterative refinement against the unjittered S
         # (TPU-friendly mixed-precision strategy; the f64 path is exact).
-        d = jnp.sqrt(jnp.clip(jnp.diagonal(S), 0.0, None))
+        # Scale floor: f32 cancellation can push a weak column's
+        # diagonal to <= 0; replacing its scale with 1.0 leaves an
+        # unscalable row (off-diagonals ~1e10) that defeats every
+        # jitter rung.  Clamp to a relative fraction of the largest
+        # diagonal instead.
+        diag = jnp.diagonal(S)
+        d = jnp.sqrt(jnp.clip(diag, 1e-12 * jnp.max(diag), None))
         d = jnp.where(d > 0, d, 1.0)
         Dinv = 1.0 / d
         Ss = S * Dinv[:, None] * Dinv[None, :]
@@ -594,7 +612,15 @@ class SchurOps(BundleOps):
             L = try_chol(
                 3e-6,
                 lambda: try_chol(
-                    1e-4, lambda: jnp.linalg.cholesky(Ss + 1e-3 * eye)))
+                    1e-4,
+                    lambda: try_chol(
+                        1e-3,
+                        # Top rung: a 353+-camera sparse-ray network
+                        # far from the optimum can be indefinite at
+                        # the 1e-3 level in f32; 1e-2 turns the step
+                        # into a heavily damped (still descent) GN
+                        # direction instead of NaN.
+                        lambda: jnp.linalg.cholesky(Ss + 1e-2 * eye))))
         else:
             L = jnp.linalg.cholesky(Ss)
 

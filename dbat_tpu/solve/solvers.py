@@ -256,13 +256,25 @@ def levenberg_marquardt(
     p = None
     prev_lambda = None
     Jp_norm = np.inf
+    boosts = 0
     while True:
         converged = False
         while n <= max_iter:
             p, failed = st.solve(-st.g, lam=lam)
             if failed:
-                res.code = SINGULAR
-                break
+                # A failed factorization is LM's own cue to damp
+                # harder, not to abort: in f32 the camera system of a
+                # large sparse-ray network can be indefinite at
+                # roundoff until lambda lifts the spectrum.  Declare
+                # SINGULAR only when boosting stops helping.
+                boosts += 1
+                if boosts > 10:
+                    res.code = SINGULAR
+                    break
+                lam = max(lam * 10.0, lambda_min,
+                          1e-12 * tr / max(ops.n_x, 1))
+                continue
+            boosts = 0
             res.res_norms.append(float(jnp.linalg.norm(rw)))
             lambdas.append(lam)
             if do_trace:

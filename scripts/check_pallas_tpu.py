@@ -75,6 +75,9 @@ dg = np.abs(g_p - g_x).max() / max(np.abs(g_x).max(), 1e-30)
 ds = np.abs(sol_p - sol_x).max() / max(np.abs(sol_x).max(), 1e-30)
 print(f"rel max |dg| = {dg:.3e}, rel max |dsol| = {ds:.3e}")
 print(f"speedup assemble+solve: {warm_x / warm_p:.2f}x")
+# Divergence check BEFORE publishing the artifact: a failed A/B must
+# not leave a committed-looking PALLAS_TPU.md implying validation.
+assert dg < 1e-5 and ds < 1e-3, "Pallas path diverges from XLA path"
 
 import os
 
@@ -100,7 +103,7 @@ lines = [
     "Policy consequence (solve/schur.py use_pallas default): the "
     "kernels stay auto-enabled on TPU only if this measures >= 1.0x.",
 ]
-with open(os.path.join("/root/repo", "PALLAS_TPU.md"), "w") as fh:
+repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+with open(os.path.join(repo, "PALLAS_TPU.md"), "w") as fh:
     fh.write("\n".join(lines) + "\n")
-assert dg < 1e-5 and ds < 1e-3, "Pallas path diverges from XLA path"
 print("OK")

@@ -45,11 +45,15 @@ def main():
 
     def run(ops, label):
         x0 = ops.x0()
-        fused_gna(ops, x0, max_iter=10, conv_tol=0.0)  # compile
+        # stall_tol=-1: fixed-iteration throughput — the f32
+        # floor-stall rule must not end the run early.
+        fused_gna(ops, x0, max_iter=10, conv_tol=0.0,
+                  stall_tol=-1.0)  # compile
         best = float("inf")
         for _ in range(3):
             t0 = time.time()
-            res = fused_gna(ops, x0, max_iter=10, conv_tol=0.0)
+            res = fused_gna(ops, x0, max_iter=10, conv_tol=0.0,
+                            stall_tol=-1.0)
             best = min(best, time.time() - t0)
         rn = float(np.sqrt(res.final_rw @ res.final_rw))
         print(f"{label}: 10 iters best {best:.2f}s rnorm {rn:.1f}",
