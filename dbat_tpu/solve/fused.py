@@ -65,7 +65,7 @@ def fused_gna(ops, x0, max_iter: int = 20, conv_tol: float = 1e-6,
 
     dtype = ops.dtype
     x, n, code, res_buf, alpha_buf, rw = run(
-        jnp.asarray(x0),
+        jnp.asarray(x0, dtype),
         jnp.asarray(max_iter, jnp.int32),
         jnp.asarray(conv_tol, dtype),
         jnp.asarray(bool(abs_term)),
