@@ -289,16 +289,20 @@ def _bundle_impl(
 
     t0 = time.time()
     if fused:
-        if damping != "gna":
-            raise ValueError("fused solver supports GNA only")
+        if damping not in ("gna", "lm"):
+            raise ValueError("fused solver supports GNA and LM only")
         from .schur import SchurOps as _S
 
         if not isinstance(ops, _S):
             raise ValueError("fused solver requires the schur backend")
-        from .fused import fused_gna
+        from .fused import fused_gna, fused_lm
 
-        res = fused_gna(ops, x0, max_iter=max_iter, conv_tol=conv_tol,
-                        abs_term=abs_term)
+        if damping == "lm":
+            res = fused_lm(ops, x0, max_iter=max_iter, conv_tol=conv_tol,
+                           abs_term=abs_term)
+        else:
+            res = fused_gna(ops, x0, max_iter=max_iter, conv_tol=conv_tol,
+                            abs_term=abs_term)
     elif damping in ("none", "gm"):
         res = solvers.gauss_markov(
             ops, x0, max_iter=max_iter, term_fun=term_fun,

@@ -24,7 +24,8 @@ import numpy as np
 
 from .precision import with_highest_precision
 from .solvers import (
-    FLOOR_FACTOR, LINESEARCH_FAILED, OK, SolveResult, TOO_MANY_ITERS,
+    FLOOR_FACTOR, LINESEARCH_FAILED, OK, SINGULAR, SolveResult,
+    TOO_MANY_ITERS,
 )
 
 
@@ -200,4 +201,179 @@ def _build_fused_run(ops, cap):
     # Constant-hoisted jit: the static plans are passed as arguments,
     # not baked into the HLO (see BundleOps.hoisted_jit) — at Hamburg
     # scale this cuts the TPU lowering from minutes to seconds.
+    return ops.hoisted_jit(run)
+
+
+def fused_lm(ops, x0, max_iter: int = 20, conv_tol: float = 1e-6,
+             abs_term: bool = False, lambda0: float = -1e-10,
+             lambda_min: float = -1e-10, stall_tol: float = None
+             ) -> SolveResult:
+    """Device-resident classic lambda-version Levenberg-Marquardt.
+
+    Same damping schedule and status codes as
+    solvers.levenberg_marquardt (ref code/bundle/lsa/
+    levenberg_marquardt.m): negative lambda0/lambda_min auto-scale by
+    trace(J'J)/n, lambda/10 on an accepted step (0 below lambda_min),
+    lambda*10 on a rejected one, termination when an undamped step was
+    accepted and the criterion holds.  A failed f32 factorization
+    boosts lambda (the host loop's round-4 rule) and reports SINGULAR
+    only after 10 consecutive failures.  One jit per (ops, buffer
+    cap); all options are runtime scalars, like fused_gna.
+    """
+    cap = _buffer_cap(max_iter)
+    run = _get_fused_lm_run(ops, cap)
+    if ops.structural_rank() < ops.n_x:
+        from .solvers import STRUCT_RANK_DEFICIENT
+
+        return SolveResult(x=np.asarray(x0), code=STRUCT_RANK_DEFICIENT,
+                           iters=0)
+    dtype = ops.dtype
+    if stall_tol is None:
+        stall_tol = 3e-5 if dtype == jnp.float32 else -1.0
+    x, n, code, res_buf, lam_buf, rw = run(
+        jnp.asarray(x0, dtype),
+        jnp.asarray(max_iter, jnp.int32),
+        jnp.asarray(conv_tol, dtype),
+        jnp.asarray(bool(abs_term)),
+        jnp.asarray(lambda0, dtype),
+        jnp.asarray(lambda_min, dtype),
+        jnp.asarray(stall_tol, dtype),
+    )
+    res = SolveResult(
+        x=np.asarray(x),
+        code=int(code),
+        iters=int(n),
+        res_norms=[float(v) for v in np.asarray(res_buf)
+                   if np.isfinite(v)],
+        damping={"name": "lm", "lambdas": [
+            float(v) for v in np.asarray(lam_buf) if np.isfinite(v)
+        ], "lambda0": lambda0, "lambda_min": lambda_min},
+        final_rw=np.asarray(rw),
+    )
+    res.trace = [np.asarray(x)]
+    return res
+
+
+def _get_fused_lm_run(ops, cap):
+    cache = getattr(ops, "_fused_lm_runs", None)
+    if cache is None:
+        cache = ops._fused_lm_runs = {}
+    if cap in cache:
+        return cache[cap]
+    run = _build_fused_lm_run(ops, cap)
+    cache[cap] = run
+    return run
+
+
+def _build_fused_lm_run(ops, cap):
+    dtype = ops.dtype
+
+    def assemble(x):
+        return ops._assemble_impl(x)
+
+    @with_highest_precision
+    def run(x0, max_iter, tol, abs_term, lambda0, lambda_min, stall_tol):
+        res_buf = jnp.full(cap, jnp.nan, dtype)
+        lam_buf = jnp.full(cap, jnp.nan, dtype)
+
+        st0 = assemble(x0)
+        U0, V0, Wb0, gc0, gp0, rw0 = st0
+        tr = (jnp.sum(jnp.diagonal(U0))
+              + jnp.sum(jnp.einsum("...aa->...a", V0) * ops.op_mask))
+        lam0 = jnp.where(lambda0 < 0,
+                         jnp.abs(lambda0) * tr / ops.n_x, lambda0)
+        lmin = jnp.where(lambda_min < 0,
+                         jnp.abs(lambda_min) * tr / ops.n_x, lambda_min)
+        # The boost target when lambda is 0 or a solve fails.
+        lpos = jnp.maximum(lmin, 1e-12 * tr / max(ops.n_x, 1))
+        lam_start = jnp.where(lam0 >= lmin, lam0, 0.0)
+        f0 = 0.5 * (rw0 @ rw0)
+
+        state = dict(
+            x=x0, U=U0, V=V0, Wb=Wb0, gc=gc0, gp=gp0, rw=rw0,
+            f=f0, lam=lam_start,
+            prev_rn=jnp.asarray(jnp.finfo(dtype).max, dtype),
+            n=jnp.asarray(0, jnp.int32),
+            code=jnp.asarray(OK, jnp.int32),
+            boosts=jnp.asarray(0, jnp.int32),
+            stall=jnp.asarray(0, jnp.int32),
+            res_buf=res_buf, lam_buf=lam_buf,
+            done=jnp.asarray(False),
+        )
+
+        def cond_d(s):
+            return (~s["done"]) & (s["code"] == OK)
+
+        def body_d(s):
+            g = ops.join_x(s["gc"], s["gp"])
+            p, _L = ops._solve_impl(s["U"], s["V"], s["Wb"], -g, s["lam"])
+            failed = ~jnp.isfinite(p).all()
+
+            # Failed factorization: boost lambda, don't consume an
+            # iteration; SINGULAR after 10 consecutive boosts.
+            boosts = jnp.where(failed, s["boosts"] + 1, 0).astype(
+                jnp.int32)
+            lam_boost = jnp.maximum(s["lam"] * 10.0, lpos)
+
+            rnorm = jnp.sqrt(2.0 * s["f"])
+            x_t = s["x"] + p
+            rw_t = ops._weighted_residual(x_t)
+            ft = 0.5 * (rw_t @ rw_t)
+            accept = (~failed) & (ft < s["f"])
+
+            Np = ops._matvec_impl(s["U"], s["V"], s["Wb"], p)
+            jp_norm = jnp.sqrt(jnp.maximum(p @ Np, 0.0))
+
+            n_new = (s["n"] + jnp.where(failed, 0, 1)).astype(jnp.int32)
+            res_buf = jnp.where(
+                failed, s["res_buf"], s["res_buf"].at[s["n"]].set(rnorm))
+            lam_buf = jnp.where(
+                failed, s["lam_buf"], s["lam_buf"].at[s["n"]].set(s["lam"]))
+
+            lam_dn = jnp.where(s["lam"] / 10.0 < lmin, 0.0,
+                               s["lam"] / 10.0)
+            lam_up = jnp.where(s["lam"] == 0.0, lpos, s["lam"] * 10.0)
+            lam_new = jnp.where(failed, lam_boost,
+                                jnp.where(accept, lam_dn, lam_up))
+
+            # Reassemble only on accepted steps.
+            U, V, Wb, gc, gp, rw = jax.lax.cond(
+                accept, lambda: assemble(x_t),
+                lambda: (s["U"], s["V"], s["Wb"], s["gc"], s["gp"],
+                         s["rw"]))
+            x_new = jnp.where(accept, x_t, s["x"])
+            f_new = jnp.where(accept, ft, s["f"])
+            rn_new = jnp.sqrt(2.0 * f_new)
+
+            # Termination: the criterion holds for an undamped
+            # (lam == 0) solve.  Acceptance is NOT required — at the
+            # optimum the lam-0 trial is negligible and ft == f
+            # rejects it, which IS convergence (the host loop's
+            # prev_lambda == 0 check fires on the same solve).
+            crit = jnp.where(abs_term, rn_new <= tol,
+                             jp_norm <= tol * rn_new)
+            term = (~failed) & (s["lam"] == 0.0) & crit
+            # f32 floor-stall rule on accepted steps.
+            stalled = accept & (
+                s["prev_rn"] - rn_new <= stall_tol * s["prev_rn"])
+            stall = jnp.where(stalled, s["stall"] + 1,
+                              jnp.where(accept, 0, s["stall"])).astype(
+                jnp.int32)
+            term = term | (stall >= 2)
+            prev_rn = jnp.where(accept, rn_new, s["prev_rn"])
+
+            over = (~term) & (~failed) & (n_new > max_iter)
+            code = jnp.where(
+                failed & (boosts > 10), SINGULAR,
+                jnp.where(over, TOO_MANY_ITERS, OK)).astype(jnp.int32)
+            return dict(
+                x=x_new, U=U, V=V, Wb=Wb, gc=gc, gp=gp, rw=rw,
+                f=f_new, lam=lam_new, prev_rn=prev_rn, n=n_new,
+                code=code, boosts=boosts, stall=stall,
+                res_buf=res_buf, lam_buf=lam_buf, done=term)
+
+        s = jax.lax.while_loop(cond_d, body_d, state)
+        rw = ops._weighted_residual(s["x"])
+        return s["x"], s["n"], s["code"], s["res_buf"], s["lam_buf"], rw
+
     return ops.hoisted_jit(run)

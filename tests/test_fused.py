@@ -58,3 +58,64 @@ def test_fused_camcal():
     assert ok
     assert sigma0 == pytest.approx(1.6148, abs=2e-4)
     assert iters == 9
+
+
+def test_fused_lm_matches_host_lm():
+    """Device-resident LM loop vs the host levenberg_marquardt on the
+    same network: both must converge to the same optimum with the same
+    damping semantics (f64 so both are exact)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dbat_tpu.core.serial import build_serial
+    from dbat_tpu.pipeline.synthetic import make_ring_network, perturb
+    from dbat_tpu.solve import solvers
+    from dbat_tpu.solve.fused import fused_lm
+    from dbat_tpu.solve.schur import SchurOps
+
+    s = make_ring_network(n_img=10, n_pt=80, rays_per_pt=(3, 6),
+                          n_obs_target=360, n_ctrl=4, noise_px=0.05,
+                          est_io_cols=("cc",), seed=21)
+    perturb(s, eo_pos=0.05, eo_ang=0.01, op_pos=0.05)
+    spec = build_serial(s)
+
+    ops = SchurOps(s, spec, dtype=jnp.float64)
+    x0 = ops.x0()
+    res_h = solvers.levenberg_marquardt(
+        ops, x0, max_iter=30,
+        term_fun=lambda jp, rn: jp <= 1e-6 * rn)
+    res_f = fused_lm(ops, x0, max_iter=30, conv_tol=1e-6)
+    assert res_h.code == 0 and res_f.code == 0
+    rn_h = float(np.linalg.norm(res_h.final_rw))
+    rn_f = float(np.linalg.norm(res_f.final_rw))
+    assert rn_f == pytest.approx(rn_h, rel=1e-10)
+    np.testing.assert_allclose(res_f.x, res_h.x, atol=1e-8)
+    # Same damping schedule family: lambda history starts at the same
+    # auto-scaled value.
+    assert res_f.damping["lambdas"][0] == pytest.approx(
+        res_h.damping["lambdas"][0], rel=1e-6)
+
+
+def test_fused_lm_f32_converges():
+    """f32 fused LM with the stall rule reaches the noise floor."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dbat_tpu.core.serial import build_serial
+    from dbat_tpu.pipeline.synthetic import make_ring_network, perturb
+    from dbat_tpu.solve.fused import fused_lm
+    from dbat_tpu.solve.schur import SchurOps
+
+    s = make_ring_network(n_img=12, n_pt=96, rays_per_pt=(3, 8),
+                          n_obs_target=500, n_ctrl=4, noise_px=0.05,
+                          est_io_cols=("cc",), seed=13)
+    perturb(s, eo_pos=0.02, eo_ang=0.005, op_pos=0.02)
+    spec = build_serial(s)
+    ops = SchurOps(s, spec, dtype=jnp.float32)
+    dof = ops.n_res - ops.n_x
+    floor = float(np.sqrt(dof))
+    res = fused_lm(ops, ops.x0(), max_iter=40, conv_tol=1.02 * floor,
+                   abs_term=True)
+    assert res.code == 0
+    rn = float(np.sqrt(res.final_rw @ res.final_rw))
+    assert rn <= 1.05 * floor
