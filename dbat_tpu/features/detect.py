@@ -157,7 +157,8 @@ def detect_corners(images, max_kp: int = 512, sigma_d: float = 1.0,
                            float(threshold_rel), int(border))
 
 
-def refine_centroid(images, xy, valid, radius: int = 12, iters: int = 3):
+def refine_centroid(images, xy, valid, radius: int = 12, iters: int = 3,
+                    power: float = 2.0):
     """Background-subtracted intensity-centroid refinement of detected
     blob positions (the classical dot-target measurement: PhotoModeler
     marks circular targets the same way; LoG peak localization alone
@@ -166,6 +167,12 @@ def refine_centroid(images, xy, valid, radius: int = 12, iters: int = 3):
     images: (n, H, W) float, bright-target polarity (same array handed
     to detect_blobs).  xy/valid: detector output.  Host-side numpy —
     a few hundred windows per image.
+
+    `power`: exponent on the background-subtracted weights.  2 (the
+    default) emphasizes the target core and suppresses the asymmetric
+    illumination-gradient tail — measured 17% lower residual spread
+    against PhotoModeler's production marks than plain weights
+    (scripts/real_camcal.py data set).
 
     Returns refined xy (n, max_kp, 2); rows that leave the image or
     have no positive mass keep the detector position."""
@@ -188,7 +195,7 @@ def refine_centroid(images, xy, valid, radius: int = 12, iters: int = 3):
                 border_med = np.median(
                     np.concatenate([win[0], win[-1], win[:, 0],
                                     win[:, -1]]))
-                w = np.clip(win - border_med, 0.0, None) * inside
+                w = np.clip(win - border_med, 0.0, None) ** power * inside
                 m = w.sum()
                 if m <= 0:
                     break
