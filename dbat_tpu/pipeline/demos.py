@@ -14,7 +14,7 @@ REFERENCE_DATA = "/root/reference/data"
 
 
 def camcal(damping: str = "gna", data_dir: str = None, trace: bool = False,
-           dtype=None, model: int = 3, **bundle_kw):
+           dtype=None, model: int = 3, prob=None, **bundle_kw):
     """Camera calibration demo (ref code/demo/camcaldemo.m,
     camcaldemo_allmodels.m via `model`).
 
@@ -39,7 +39,11 @@ def camcal(damping: str = "gna", data_dir: str = None, trace: bool = False,
         dtype = default_dtype()  # f64 on CPU, f32+refinement on TPU
     data_dir = data_dir or osp.join(REFERENCE_DATA, "dbat")
 
-    prob = load_pm(osp.join(data_dir, "pmexports", "camcal-pmexport.txt"))
+    # `prob` lets callers substitute their own measurements into the
+    # canonical configuration (scripts/real_camcal.py).
+    if prob is None:
+        prob = load_pm(osp.join(data_dir, "pmexports",
+                                "camcal-pmexport.txt"))
     s = from_pm(prob)
     s.dist_model = model  # camcaldemo.m:62 (3); allmodels loops -1,1..5
     s.set_cam_vals_default(7.3)  # EXIF focal

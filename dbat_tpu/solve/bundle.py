@@ -291,6 +291,10 @@ def _bundle_impl(
     if fused:
         if damping not in ("gna", "lm"):
             raise ValueError("fused solver supports GNA and LM only")
+        if veto:
+            raise ValueError(
+                "fused solver does not implement the chirality veto; "
+                "use fused=False (host loop) with veto=True")
         from .schur import SchurOps as _S
 
         if not isinstance(ops, _S):

@@ -89,19 +89,22 @@ def fused_gna(ops, x0, max_iter: int = 20, conv_tol: float = 1e-6,
     return res
 
 
-def _get_fused_run(ops, cap):
-    """The compiled device loop, cached per (ops, buffer cap): repeat
+def _run_cache(ops, cap, attr, builder):
+    """Compiled device loops, cached per (ops, buffer cap): repeat
     bundles on the same network (warm benchmark runs, covariance
     re-adjustments, different solver options) must not pay
     retrace+lowering again."""
-    cache = getattr(ops, "_fused_runs", None)
+    cache = getattr(ops, attr, None)
     if cache is None:
-        cache = ops._fused_runs = {}
-    if cap in cache:
-        return cache[cap]
-    run = _build_fused_run(ops, cap)
-    cache[cap] = run
-    return run
+        cache = {}
+        setattr(ops, attr, cache)
+    if cap not in cache:
+        cache[cap] = builder(ops, cap)
+    return cache[cap]
+
+
+def _get_fused_run(ops, cap):
+    return _run_cache(ops, cap, "_fused_runs", _build_fused_run)
 
 
 def _build_fused_run(ops, cap):
@@ -217,7 +220,8 @@ def fused_lm(ops, x0, max_iter: int = 20, conv_tol: float = 1e-6,
     lambda*10 on a rejected one, termination when an undamped step was
     accepted and the criterion holds.  A failed f32 factorization
     boosts lambda (the host loop's round-4 rule) and reports SINGULAR
-    only after 10 consecutive failures.  One jit per (ops, buffer
+    only when an 11th consecutive factorization fails (host-loop
+    parity).  One jit per (ops, buffer
     cap); all options are runtime scalars, like fused_gna.
     """
     cap = _buffer_cap(max_iter)
@@ -250,19 +254,22 @@ def fused_lm(ops, x0, max_iter: int = 20, conv_tol: float = 1e-6,
         ], "lambda0": lambda0, "lambda_min": lambda_min},
         final_rw=np.asarray(rw),
     )
+    # Report auto-scaled lambda values like the host loop does
+    # (solvers.py levenberg_marquardt resolves the negative-means-auto
+    # arguments before storing them): the first recorded lambda IS the
+    # scaled lambda0; lambda_min scales by the same factor.
+    if res.damping["lambdas"] and lambda0 < 0:
+        l0s = res.damping["lambdas"][0]
+        res.damping["lambda0"] = l0s
+        if lambda_min < 0:
+            res.damping["lambda_min"] = l0s * abs(lambda_min) / abs(
+                lambda0)
     res.trace = [np.asarray(x)]
     return res
 
 
 def _get_fused_lm_run(ops, cap):
-    cache = getattr(ops, "_fused_lm_runs", None)
-    if cache is None:
-        cache = ops._fused_lm_runs = {}
-    if cap in cache:
-        return cache[cap]
-    run = _build_fused_lm_run(ops, cap)
-    cache[cap] = run
-    return run
+    return _run_cache(ops, cap, "_fused_lm_runs", _build_fused_lm_run)
 
 
 def _build_fused_lm_run(ops, cap):
@@ -332,7 +339,10 @@ def _build_fused_lm_run(ops, cap):
 
             lam_dn = jnp.where(s["lam"] / 10.0 < lmin, 0.0,
                                s["lam"] / 10.0)
-            lam_up = jnp.where(s["lam"] == 0.0, lpos, s["lam"] * 10.0)
+            # Host parity: a rejected lam==0 step restarts at exactly
+            # lambda_min (lpos is only the FAILED-factorization boost
+            # floor, where lambda_min may be 0).
+            lam_up = jnp.where(s["lam"] == 0.0, lmin, s["lam"] * 10.0)
             lam_new = jnp.where(failed, lam_boost,
                                 jnp.where(accept, lam_dn, lam_up))
 

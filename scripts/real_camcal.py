@@ -46,12 +46,9 @@ GOLDEN = {  # camcal-dbatreport.txt:20-21,57-80 (model 3) ± deviations
 def main():
     from PIL import Image
 
-    from dbat_tpu.core.project import from_pm
     from dbat_tpu.features.detect import detect_blobs, refine_centroid
-    from dbat_tpu.geometry.initvals import forward_intersect, resect
-    from dbat_tpu.io.cpt import load_cpt
     from dbat_tpu.io.pm import load_pm
-    from dbat_tpu.solve.bundle import bundle
+    from dbat_tpu.pipeline import demos
 
     t_all = time.time()
     prob = load_pm(osp.join(REF, "pmexports", "camcal-pmexport.txt"))
@@ -72,6 +69,9 @@ def main():
         xy = refine_centroid(inv, xy, valid, radius=24)
         det = np.asarray(xy)[0][np.asarray(valid)[0]]
         rows = np.flatnonzero(mp[:, 0] == photo)
+        if det.shape[0] == 0 or rows.size == 0:
+            n_missed += rows.size  # leave this image's marks at PM values
+            continue
         marks = mp[rows][:, 2:4]
         d = np.linalg.norm(marks[:, None, :] - det[None, :, :], axis=2)
         nn = d.min(axis=1)
@@ -84,28 +84,11 @@ def main():
     resid = np.concatenate(resid)
     prob.mark_pts = mp
 
-    # --- standard camcal configuration (demos.camcal) ----------------
-    s = from_pm(prob)
-    s.dist_model = 3
-    s.set_cam_vals_default(7.3)
-    s.set_cam_est("all", "not", "sk")
-    s.set_eo_est("all")
-    s.clear_eo()
-    if not s.is_ctrl.any():
-        s.is_ctrl = s.op_id > 1000
-    pts = load_cpt(osp.join(REF, "ref", "camcal-fixed.txt"))
-    i, j = s.match_cpt(pts)
-    s.set_cpt(pts, i, j)
-    s.clear_op()
-    cp_id = s.op_id[s.is_ctrl]
-    rms, fail = resect(s, "all", cp_id, 1, 0, cp_id)
-    assert not fail, "resection failed"
-    forward_intersect(s, "all", skip_prior=True)
-
+    # The canonical camcaldemo configuration, with our measurements
+    # substituted via the prob= hook (no duplicated setup to drift).
     t0 = time.time()
-    r, ok, iters, sigma0, info = bundle(s, damping="gna",
-                                        dtype=jnp.float64,
-                                        backend="schur")
+    r, ok, iters, sigma0, info = demos.camcal(
+        damping="gna", dtype=jnp.float64, backend="schur", prob=prob)
     t_bundle = time.time() - t0
 
     io = r.io[0]
