@@ -67,6 +67,28 @@ def measured_mm(u_px, px_size):
     return pr.yflip(u_px * px_size)
 
 
+def _rhs_backward(io, u, model: int, nK: int, nP: int):
+    """Measured-side chain of the backward models (1..5): the
+    undistorted, principal-point-centered measurement in mm.
+    Independent of EO/OP and of cc — the split the fast self-cal
+    Jacobian exploits (make_obs_jacobian_fn)."""
+    _cc, pp, b, K, P = unpack_io(io, nK, nP)
+    x = u - pp
+    if model in (1, 2):
+        # res_euler_brown_0.m: rhs = brown_dist(x, -K, -P)
+        return pr.brown_dist(x, -K, -P)
+    if model == 3:
+        # res_euler_brown_1.m: affine before lens distortion
+        return pr.brown_dist(pr.affine2(x, b), -K, -P)
+    if model == 4:
+        # res_euler_brown_2.m: affine after lens distortion
+        return pr.affine2(pr.brown_dist(x, -K, -P), b)
+    # res_euler_brown_3.m: aniscale2b(b0) before centering,
+    # skew(b1) after lens distortion
+    xs = pr.aniscale2b(u, b[0]) - pp
+    return pr.skew2(pr.brown_dist(xs, -K, -P), b[1])
+
+
 def residual_obs(io, eo, op, u_px, px_size, *, model: int, nK: int, nP: int):
     """Residual (2,) in mm for one image observation.
 
@@ -80,22 +102,7 @@ def residual_obs(io, eo, op, u_px, px_size, *, model: int, nK: int, nP: int):
 
     if model in (1, 2, 3, 4, 5):
         lhs = pr.euler_pinhole(op, C, ang, -cc)
-        x = u - pp
-        if model in (1, 2):
-            # res_euler_brown_0.m: rhs = brown_dist(x, -K, -P)
-            rhs = pr.brown_dist(x, -K, -P)
-        elif model == 3:
-            # res_euler_brown_1.m: affine before lens distortion
-            rhs = pr.brown_dist(pr.affine2(x, b), -K, -P)
-        elif model == 4:
-            # res_euler_brown_2.m: affine after lens distortion
-            rhs = pr.affine2(pr.brown_dist(x, -K, -P), b)
-        else:
-            # res_euler_brown_3.m: aniscale2b(b0) before centering,
-            # skew(b1) after lens distortion
-            xs = pr.aniscale2b(u, b[0]) - pp
-            rhs = pr.skew2(pr.brown_dist(xs, -K, -P), b[1])
-        return lhs - rhs
+        return lhs - _rhs_backward(io, u, model, nK, nP)
 
     if model == -1:
         # Forward/CV model (brown_euler_cam4.m:184-208): project with
@@ -131,7 +138,25 @@ def make_obs_jacobian_fn(model: int, nK: int, nP: int, *, with_io: bool = True):
     """
     f = partial(residual_obs, model=model, nK=nK, nP=nP)
 
-    if with_io:
+    if with_io and model in (1, 2, 3, 4, 5):
+        # Backward models split as v = lhs(op, eo, cc) - rhs(io\cc, u):
+        # J_eo/J_op come from the closed-form projection Jacobian, the
+        # cc column is lhs/cc (lhs = -cc q_xy/q_z), and only the CHEAP
+        # measured-side chain (no rotation/projection) carries the
+        # remaining NC-1 forward tangents — vs pushing NC+9 tangents
+        # through the full chain.  Self-cal networks (the honest C5
+        # bench shape) assemble ~3x fewer Jacobian FLOPs.
+        def val_and_jac(io, eo, op, u_px, px_size):
+            u = measured_mm(u_px, px_size)
+            lhs = pr.euler_pinhole(op, eo[:3], eo[3:6], -io[0])
+            rhs = _rhs_backward(io, u, model, nK, nP)
+            jrhs = jax.jacfwd(
+                lambda io_: _rhs_backward(io_, u, model, nK, nP))(io)
+            v = lhs - rhs
+            jeo, jop = projection_jacobian(op, eo[:3], eo[3:6], -io[0])
+            jio = (-jrhs).at[:, 0].set(lhs / io[0])
+            return v, jio, jeo, jop
+    elif with_io:
         def val_and_jac(io, eo, op, u_px, px_size):
             v = f(io, eo, op, u_px, px_size)
             jio, jeo, jop = jax.jacfwd(f, argnums=(0, 1, 2))(
