@@ -119,3 +119,15 @@ def test_fused_lm_f32_converges():
     assert res.code == 0
     rn = float(np.sqrt(res.final_rw @ res.final_rw))
     assert rn <= 1.05 * floor
+
+
+def test_fused_veto_is_an_error():
+    """bundle(fused=True, veto=True) must fail loudly: the fused loops
+    do not implement the chirality veto the host paths apply."""
+    import jax.numpy as jnp
+
+    s = make_ring_network(n_img=8, n_pt=48, rays_per_pt=4, noise_px=0.05,
+                          seed=42)
+    with pytest.raises(ValueError, match="veto"):
+        bundle(s, damping="gna", fused=True, veto=True,
+               dtype=jnp.float64, backend="schur")

@@ -92,3 +92,20 @@ def test_script_features_to_report(tmp_path):
     assert "Sigma0" in txt or "sigma0" in txt.lower()
     assert osp.basename(str(tmp_path / "img00.png")) in " ".join(
         s.img_labels)
+
+
+def test_both_inputs_is_an_error(tmp_path):
+    """<image_pts> + <features> must fail loudly, not silently prefer
+    detector output over the user's measurements."""
+    import pytest
+
+    bad = SCRIPT.replace(
+        '<features detector="blob" max_kp="256" ratio="0.9" sxy="0.1"/>',
+        '<features detector="blob"/>'
+        '<image_pts><file format="im,id,x,y,sxy">pts.txt</file>'
+        '</image_pts>')
+    (tmp_path / "script.xml").write_text(bad)
+    (tmp_path / "images.txt").write_text("1,/nonexistent.png\n")
+    (tmp_path / "pts.txt").write_text("0 1 10 10 0.1\n")
+    with pytest.raises(ValueError, match="BOTH"):
+        run_script(str(tmp_path / "script.xml"))
