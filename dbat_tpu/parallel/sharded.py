@@ -103,7 +103,7 @@ class ShardedSchurOps(BundleOps):
     """
 
     def __init__(self, project, spec, mesh: Mesh, dtype=jnp.float64,
-                 cap: int = 64):
+                 cap: int = 64, use_pallas=None):
         super().__init__(project, spec, dtype=dtype)
         self.mesh = mesh
         self._project = project
@@ -139,6 +139,24 @@ class ShardedSchurOps(BundleOps):
         self._fb_y = FlatBilinear(d_y, 9, matmul_terms(nb, 3, 3), d_y)
         self._fb_pair = FlatBilinear(d_y, d_y, abt_terms(nb, 3, nb),
                                      nb * nb)
+        # Pallas hot-path kernels on the per-device local compute
+        # (same policy as SchurOps; the kernels run on each device's
+        # shard inside shard_map — measured 1.39x over the XLA path on
+        # the unsharded hot loop, PALLAS_TPU.md).
+        if use_pallas is None:
+            import os
+
+            env = os.environ.get("DBAT_TPU_PALLAS")
+            if env is not None:
+                use_pallas = env == "1"
+            else:
+                use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = use_pallas
+        if use_pallas:
+            for fb in (self._fb_u, self._fb_w, self._fb_y,
+                       self._fb_pair):
+                fb.use_pallas = use_pallas
+                fb.build_slot_sels()
 
         # ---- Host partition: points -> contiguous shards. -----------
         obs_pt = np.asarray(p.obs_pt)
