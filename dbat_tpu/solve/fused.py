@@ -179,6 +179,11 @@ def _build_fused_run(ops, cap):
             at_floor = fail_ls & jnp.where(
                 abs_term, rnorm <= tol,
                 jp_norm <= FLOOR_FACTOR * tol * rnorm)
+            # f32 floor: a failed linesearch right after a sub-stall_tol
+            # accepted step is the stall rule's second vote (see
+            # solvers.gauss_newton_armijo).
+            at_floor = at_floor | (fail_ls & (stall >= 1)
+                                   & (stall_tol > 0))
             n_new = (n + jnp.where(term, 0, 1)).astype(jnp.int32)
             alpha_buf = jnp.where(
                 term | at_floor, alpha_buf, alpha_buf.at[n].set(alpha)

@@ -134,6 +134,12 @@ def gauss_newton_armijo(
         if not accepted:
             alpha = 0.0
 
+        if alpha == 0.0 and stall >= 1:
+            # f32 floor: the previous accepted step already decreased
+            # the residual by < stall_tol and now no measurable
+            # descent remains — the stall rule's second vote arrives
+            # as a linesearch failure instead of a tiny accepted step.
+            break
         if alpha == 0.0 and term_fun(jp_norm / FLOOR_FACTOR, rnorm):
             # Converged at the numerical floor: no f64-measurable
             # descent remains AND the step criterion is within
