@@ -140,17 +140,14 @@ class ShardedSchurOps(BundleOps):
         self._fb_pair = FlatBilinear(d_y, d_y, abt_terms(nb, 3, nb),
                                      nb * nb)
         # Pallas hot-path kernels on the per-device local compute
-        # (same policy as SchurOps; the kernels run on each device's
-        # shard inside shard_map — measured 1.39x over the XLA path on
-        # the unsharded hot loop, PALLAS_TPU.md).
+        # (shared policy with SchurOps — f32-on-TPU auto, DBAT_PALLAS
+        # override; the kernels run on each device's local shard
+        # inside shard_map — measured: mesh overhead 1.64x -> 1.34x,
+        # SHARDED_TPU.md).
         if use_pallas is None:
-            import os
+            from ..solve.schur import resolve_use_pallas
 
-            env = os.environ.get("DBAT_TPU_PALLAS")
-            if env is not None:
-                use_pallas = env == "1"
-            else:
-                use_pallas = jax.default_backend() == "tpu"
+            use_pallas = resolve_use_pallas(dtype, local=True)
         self.use_pallas = use_pallas
         if use_pallas:
             for fb in (self._fb_u, self._fb_w, self._fb_y,

@@ -40,6 +40,23 @@ from .normal_state import DenseNormalState
 from .smallblas import chol3x3, inv3x3
 
 
+def resolve_use_pallas(dtype, local: bool = True):
+    """Shared Pallas-enable policy (SchurOps and the sharded backend):
+    auto-on only for f32 local compute on a real TPU backend — TPU
+    Mosaic does not lower the f64 kernels, and only the f32 path is
+    benchmarked (PALLAS_TPU.md).  DBAT_PALLAS=0/1/interpret overrides.
+    """
+    import os
+
+    env = os.environ.get("DBAT_PALLAS", "")
+    if env == "interpret":
+        return "interpret"
+    if env in ("0", "1"):
+        return env == "1"
+    return (local and np.dtype(dtype) == np.float32
+            and jax.default_backend() == "tpu")
+
+
 def _build_pairs(obs_pt: np.ndarray):
     """Strict observation pairs (i1 before i2) within each point's
     observation list. Returns (i1, i2); total = sum_j k_j(k_j-1)/2.
@@ -72,16 +89,7 @@ class SchurOps(BundleOps):
         # Pallas hot-path kernels (pallas_kernels.py): auto-on for the
         # unsharded TPU backend; DBAT_PALLAS=0/1/interpret overrides.
         if use_pallas is None:
-            import os
-
-            env = os.environ.get("DBAT_PALLAS", "")
-            if env == "interpret":
-                use_pallas = "interpret"
-            elif env in ("0", "1"):
-                use_pallas = env == "1"
-            else:
-                use_pallas = (mesh is None
-                              and jax.default_backend() == "tpu")
+            use_pallas = resolve_use_pallas(dtype, local=mesh is None)
         self.use_pallas = use_pallas
         #: iterative-refinement steps for the f32 reduced solve
         self.refine_iters = refine_iters

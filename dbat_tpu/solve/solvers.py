@@ -119,12 +119,14 @@ def gauss_newton_armijo(
         fp0 = gp  # r'Jp
         alpha = 1.0
         accepted = False
+        vetoed_any = False
         while alpha >= alpha_min:
             t = x + alpha * p
             rt = ops.weighted_residual(t)
             f = 0.5 * float(rt @ rt)
             red_ok = f < f0 + mu * alpha * fp0
             fail = bool(veto_fun(t)) if (red_ok and veto_fun is not None) else False
+            vetoed_any = vetoed_any or fail
             if red_ok and not fail:
                 x = t
                 rw = rt
@@ -134,11 +136,14 @@ def gauss_newton_armijo(
         if not accepted:
             alpha = 0.0
 
-        if alpha == 0.0 and stall >= 1:
+        if alpha == 0.0 and stall >= 1 and not vetoed_any:
             # f32 floor: the previous accepted step already decreased
             # the residual by < stall_tol and now no measurable
             # descent remains — the stall rule's second vote arrives
             # as a linesearch failure instead of a tiny accepted step.
+            # (A veto rejection is a genuine failure, not the floor —
+            # it must keep the LINESEARCH_FAILED path.)
+            res.res_norms.append(float(jnp.linalg.norm(rw)))
             break
         if alpha == 0.0 and term_fun(jp_norm / FLOOR_FACTOR, rnorm):
             # Converged at the numerical floor: no f64-measurable
