@@ -241,12 +241,8 @@ def average_rotations(n_img: int, edges, sweeps: int = 20,
     return np.einsum("nab,cb->nac", Rg, Rg[0])
 
 
-def _cross_mat(t):
-    return np.array([[0, -t[2], t[1]], [t[2], 0, -t[0]],
-                     [-t[1], t[0], 0.0]])
-
-
-def recover_centers(n_img: int, edges, Rg, irls_rounds: int = 4):
+def recover_centers(n_img: int, edges, Rg, irls_rounds: int = 4,
+                    max_dense_entries: int = 50_000_000):
     """Camera centers from translation directions t_ij ~ R_j(C_i - C_j).
 
     Minimizes sum ||[t_ij]_x R_j (C_i - C_j)||^2 with C_0 = 0, over the
@@ -254,18 +250,43 @@ def recover_centers(n_img: int, edges, Rg, irls_rounds: int = 4):
     Cauchy weights on the per-edge residual (normalized by baseline)
     keep wrong translation directions from bending the solution.
     Returns centers up to a global scale whose sign is later fixed by
-    chirality."""
+    chirality.
+
+    Edge-only translation averaging is the small-graph fallback: the
+    dense (3m, 3(n-1)) SVD system is guarded by `max_dense_entries`
+    (~400 MB of f64); larger graphs must use
+    recover_centers_structure, the production path (its conditioning
+    also does not collapse with graph diameter — POSEGRAPH_C5.md)."""
     m = len(edges)
-    w_e = np.array([float(w) for (_i, _j, _R, _t, w) in edges])
+    if 9 * m * max(n_img - 1, 1) > max_dense_entries:
+        raise ValueError(
+            f"recover_centers: dense system over {m} edges x {n_img} "
+            "cameras exceeds the size guard; use "
+            "recover_centers_structure (the production path) for "
+            "large graphs")
+    ei = np.array([e[0] for e in edges], np.int64)
+    ej = np.array([e[1] for e in edges], np.int64)
+    t_e = np.stack([np.asarray(e[3], float) for e in edges])
+    w_e = np.array([float(e[4]) for e in edges])
+
+    # Batched [t]_x R_j blocks (one per edge).
+    z = np.zeros(m)
+    Tx = np.array([
+        [z, -t_e[:, 2], t_e[:, 1]],
+        [t_e[:, 2], z, -t_e[:, 0]],
+        [-t_e[:, 1], t_e[:, 0], z],
+    ]).transpose(2, 0, 1)
+    B_all = np.einsum("kab,kbc->kac", Tx, Rg[ej])
 
     def solve(weights):
-        A = np.zeros((3 * m, 3 * (n_img - 1)))
-        for k, (i, j, _R, t, _w) in enumerate(edges):
-            B = np.sqrt(weights[k]) * (_cross_mat(t) @ Rg[j])
-            if i != 0:
-                A[3 * k:3 * k + 3, 3 * (i - 1):3 * i] = B
-            if j != 0:
-                A[3 * k:3 * k + 3, 3 * (j - 1):3 * j] = -B
+        Bw = np.sqrt(weights)[:, None, None] * B_all
+        A = np.zeros((m, 3, n_img - 1, 3))
+        kk = np.arange(m)
+        si = ei != 0
+        A[kk[si], :, ei[si] - 1, :] = Bw[si]
+        sj = ej != 0
+        A[kk[sj], :, ej[sj] - 1, :] = -Bw[sj]
+        A = A.reshape(3 * m, 3 * (n_img - 1))
         _, _, Vt = np.linalg.svd(A, full_matrices=False)
         C = np.zeros((n_img, 3))
         C[1:] = Vt[-1].reshape(-1, 3)
@@ -275,11 +296,9 @@ def recover_centers(n_img: int, edges, Rg, irls_rounds: int = 4):
     weights = w_e.copy()
     C = solve(weights)
     for _ in range(irls_rounds - 1):
-        res = np.empty(m)
-        for k, (i, j, _R, t, _w) in enumerate(edges):
-            v = Rg[j] @ (C[i] - C[j])
-            nb = np.linalg.norm(v)
-            res[k] = (np.linalg.norm(np.cross(t, v)) / max(nb, 1e-12))
+        v = np.einsum("kab,kb->ka", Rg[ej], C[ei] - C[ej])
+        nb = np.maximum(np.linalg.norm(v, axis=1), 1e-12)
+        res = np.linalg.norm(np.cross(t_e, v), axis=1) / nb
         sigma = max(1.4826 * np.median(res), 1e-6)
         weights = w_e / (1.0 + (res / sigma) ** 2)
         C = solve(weights)

@@ -96,7 +96,7 @@ def bundle(
     dtype=jnp.float64,
     backend: str = "auto",
     mesh=None,
-    fused: bool = False,
+    fused="auto",
     center=None,
     polish=None,
 ):
@@ -104,6 +104,24 @@ def bundle(
 
     Returns (project, ok, iters, sigma0, info). `project` is updated
     in place with converged values and posterior residuals.
+
+    `fused`: route the iteration through the device-resident
+    lax.while_loop solvers (solve/fused.py) instead of the host loops.
+    Default "auto": fused whenever it applies (f32 Schur backend, GNA
+    or LM damping, no mesh/veto/trace) — an f32 solve is the chip
+    path, and per-iteration host round trips over a tunneled TPU cost
+    more than the whole remaining solve (the round-4 145 s roma-shape
+    host-LM bundle, POSEGRAPH_C5.md, vs ~2 s fused).  f64 host solves
+    keep the host loops (they are the CPU/parity path, and per-step
+    Python overhead is negligible there).
+
+    Termination note: for f32 solves an OK status can come from the
+    floor-stall rule (two consecutive iterations with relative
+    residual decrease < 3e-5) even when the requested conv_tol was
+    never certified — f32 cannot certify DBAT's 1e-6 criterion.
+    info.damping["floor_stall"] distinguishes criterion-met from
+    floor-stall termination; the f64 polish then re-certifies the
+    criterion where it accepts (info.code reflects the overall run).
 
     `center`: translate the network to its centroid for the solve and
     back afterwards.  Default: on for f32 (survey-grade coordinates —
@@ -227,7 +245,7 @@ def _bundle_impl(
     dtype=jnp.float64,
     backend: str = "auto",
     mesh=None,
-    fused: bool = False,
+    fused="auto",
     polish=None,
 ):
     damping = damping.lower()
@@ -255,6 +273,18 @@ def _bundle_impl(
         # Dense N is exact and fastest while n_x^2 stays small; the
         # Schur reduced camera system wins beyond that.
         backend = "dense" if spec.n_x <= 2000 and mesh is None else "schur"
+    if fused == "auto":
+        # Device-resident loops whenever they apply (see bundle()
+        # docstring): f32 is the chip path, where host-loop round
+        # trips dominate wall-clock.
+        fused = (
+            np.dtype(dtype) == np.float32
+            and backend == "schur"
+            and mesh is None
+            and damping in ("gna", "lm")
+            and not veto
+            and not trace
+        )
     if mesh is not None:
         # Point-partitioned shard_map backend: local plans + psum'd
         # camera system (parallel/sharded.py).

@@ -78,9 +78,26 @@ class Covariance:
                 # surfaced as negative posterior variances at C5 scale
                 # (COP_C5.md round 4).  Covariance is post-processing —
                 # one (n_op, 3, 3) f64 batch inverse is microseconds.
-                Vinv = jnp.asarray(
-                    np.linalg.inv(np.asarray(V, np.float64)), ops.dtype)
-                S = ops._schur_S(U, Vinv, Wb, jnp.asarray(0.0, ops.dtype))
+                # Exactly singular blocks (duplicate or perfectly
+                # parallel rays) must fail soft like the solve path's
+                # trace-relative floor (schur.py _solve_impl), not
+                # abort the whole extraction: retry with a relative
+                # floor that is negligible (1e-12) for healthy blocks.
+                V_h = np.asarray(V, np.float64)
+                try:
+                    Vinv_h = np.linalg.inv(V_h)
+                except np.linalg.LinAlgError:
+                    tr = np.einsum("jii->j", V_h)
+                    V_h = V_h + (1e-12 * np.maximum(tr, 1.0))[
+                        :, None, None] * np.eye(3)
+                    Vinv_h = np.linalg.inv(V_h)
+                Vinv = jnp.asarray(Vinv_h, ops.dtype)
+                # Jitted S build (shares the persistent compile cache
+                # across processes; the eager op-by-op dispatch of
+                # _schur_S cost tens of seconds over a tunneled TPU —
+                # the round-4 COP cold-path gap, COP_C5.md).
+                S = ops.schur_S_jit(U, Vinv, Wb,
+                                    jnp.asarray(0.0, ops.dtype))
                 # Factor S once — Jacobi-scaled, in f64 on the host
                 # with a jitter ladder.  A raw f32 device Cholesky of
                 # the unscaled S breaks down at Hamburg scale (f32

@@ -65,7 +65,7 @@ def fused_gna(ops, x0, max_iter: int = 20, conv_tol: float = 1e-6,
         return res
 
     dtype = ops.dtype
-    x, n, code, res_buf, alpha_buf, rw = run(
+    x, n, code, res_buf, alpha_buf, rw, sflag = run(
         jnp.asarray(x0, dtype),
         jnp.asarray(max_iter, jnp.int32),
         jnp.asarray(conv_tol, dtype),
@@ -82,9 +82,15 @@ def fused_gna(ops, x0, max_iter: int = 20, conv_tol: float = 1e-6,
                    if np.isfinite(v)],
         damping={"name": "gna", "alphas": [
             float(v) for v in np.asarray(alpha_buf) if np.isfinite(v)
-        ], "mu": mu, "alpha_min": alpha_min},
+        ], "mu": mu, "alpha_min": alpha_min,
+            "floor_stall": bool(sflag)},
         final_rw=np.asarray(rw),
     )
+    if res.code == TOO_MANY_ITERS:
+        # Host-loop bookkeeping parity (solvers.py): the TOO_MANY_ITERS
+        # exit appends the residual at the final accepted x, which the
+        # trace buffer (written at iteration entry) does not hold.
+        res.res_norms.append(float(np.linalg.norm(res.final_rw)))
     res.trace = [np.asarray(x)]  # endpoint only (memory-light)
     return res
 
@@ -145,19 +151,22 @@ def _build_fused_run(ops, cap):
         alpha_buf = jnp.full(cap, jnp.nan, dtype)
 
         def cond(st):
-            x, n, code, done, res_buf, alpha_buf, prev_rn, stall = st
+            (x, n, code, done, res_buf, alpha_buf, prev_rn, stall,
+             sflag) = st
             return (~done) & (code == OK)
 
         def body(st):
-            x, n, code, done, res_buf, alpha_buf, prev_rn, stall = st
+            (x, n, code, done, res_buf, alpha_buf, prev_rn, stall,
+             sflag) = st
             p, g, rw, Np = one_solve(x)
             rnorm = jnp.sqrt(rw @ rw)
             res_buf = res_buf.at[n].set(rnorm)
             jp_norm = jnp.sqrt(jnp.maximum(p @ Np, 0.0))
             stalled = prev_rn - rnorm <= stall_tol * prev_rn
             stall = jnp.where(stalled, stall + 1, 0).astype(jnp.int32)
+            stall_term = stall >= 2
             term = jnp.where(abs_term, rnorm <= tol, jp_norm <= tol * rnorm)
-            term = term | (stall >= 2)
+            term = term | stall_term
 
             f0 = 0.5 * rnorm**2
             fp0 = g @ p
@@ -182,8 +191,9 @@ def _build_fused_run(ops, cap):
             # f32 floor: a failed linesearch right after a sub-stall_tol
             # accepted step is the stall rule's second vote (see
             # solvers.gauss_newton_armijo).
-            at_floor = at_floor | (fail_ls & (stall >= 1)
-                                   & (stall_tol > 0))
+            stall_floor = fail_ls & (stall >= 1) & (stall_tol > 0)
+            at_floor = at_floor | stall_floor
+            sflag = sflag | stall_term | stall_floor
             n_new = (n + jnp.where(term, 0, 1)).astype(jnp.int32)
             alpha_buf = jnp.where(
                 term | at_floor, alpha_buf, alpha_buf.at[n].set(alpha)
@@ -195,16 +205,16 @@ def _build_fused_run(ops, cap):
                 jnp.where(over, TOO_MANY_ITERS, OK)
             ).astype(jnp.int32)
             return (x_new, n_new, code, term | at_floor, res_buf,
-                    alpha_buf, rnorm, stall)
+                    alpha_buf, rnorm, stall, sflag)
 
         state = (x0, jnp.asarray(0, jnp.int32), jnp.asarray(OK, jnp.int32),
                  jnp.asarray(False), res_buf, alpha_buf,
                  jnp.asarray(jnp.finfo(dtype).max, dtype),
-                 jnp.asarray(0, jnp.int32))
-        x, n, code, done, res_buf, alpha_buf, _prev_rn, _stall = \
-            jax.lax.while_loop(cond, body, state)
+                 jnp.asarray(0, jnp.int32), jnp.asarray(False))
+        (x, n, code, done, res_buf, alpha_buf, _prev_rn, _stall,
+         sflag) = jax.lax.while_loop(cond, body, state)
         rw = ops._weighted_residual(x)
-        return x, n, code, res_buf, alpha_buf, rw
+        return x, n, code, res_buf, alpha_buf, rw, sflag
 
     # Constant-hoisted jit: the static plans are passed as arguments,
     # not baked into the HLO (see BundleOps.hoisted_jit) — at Hamburg
@@ -222,8 +232,9 @@ def fused_lm(ops, x0, max_iter: int = 20, conv_tol: float = 1e-6,
     solvers.levenberg_marquardt (ref code/bundle/lsa/
     levenberg_marquardt.m): negative lambda0/lambda_min auto-scale by
     trace(J'J)/n, lambda/10 on an accepted step (0 below lambda_min),
-    lambda*10 on a rejected one, termination when an undamped step was
-    accepted and the criterion holds.  A failed f32 factorization
+    lambda*10 on a rejected one, termination at an accepted step when
+    the previous accepted step left lambda at 0 (the host loop's
+    prev_lambda gate) and the criterion holds.  A failed f32 factorization
     boosts lambda (the host loop's round-4 rule) and reports SINGULAR
     only when an 11th consecutive factorization fails (host-loop
     parity).  One jit per (ops, buffer
@@ -239,7 +250,7 @@ def fused_lm(ops, x0, max_iter: int = 20, conv_tol: float = 1e-6,
     dtype = ops.dtype
     if stall_tol is None:
         stall_tol = 3e-5 if dtype == jnp.float32 else -1.0
-    x, n, code, res_buf, lam_buf, rw = run(
+    x, n, code, res_buf, lam_buf, rw, lam0s, lmins, sflag = run(
         jnp.asarray(x0, dtype),
         jnp.asarray(max_iter, jnp.int32),
         jnp.asarray(conv_tol, dtype),
@@ -254,21 +265,18 @@ def fused_lm(ops, x0, max_iter: int = 20, conv_tol: float = 1e-6,
         iters=int(n),
         res_norms=[float(v) for v in np.asarray(res_buf)
                    if np.isfinite(v)],
+        # lambda0/lambda_min are the trace-auto-scaled values computed
+        # inside the run (host-loop parity: solvers.levenberg_marquardt
+        # resolves the negative-means-auto arguments before storing).
         damping={"name": "lm", "lambdas": [
             float(v) for v in np.asarray(lam_buf) if np.isfinite(v)
-        ], "lambda0": lambda0, "lambda_min": lambda_min},
+        ], "lambda0": float(lam0s), "lambda_min": float(lmins),
+            "floor_stall": bool(sflag)},
         final_rw=np.asarray(rw),
     )
-    # Report auto-scaled lambda values like the host loop does
-    # (solvers.py levenberg_marquardt resolves the negative-means-auto
-    # arguments before storing them): the first recorded lambda IS the
-    # scaled lambda0; lambda_min scales by the same factor.
-    if res.damping["lambdas"] and lambda0 < 0:
-        l0s = res.damping["lambdas"][0]
-        res.damping["lambda0"] = l0s
-        if lambda_min < 0:
-            res.damping["lambda_min"] = l0s * abs(lambda_min) / abs(
-                lambda0)
+    # Host-loop bookkeeping parity: solvers.levenberg_marquardt always
+    # appends the residual at the final x after the loop.
+    res.res_norms.append(float(np.linalg.norm(res.final_rw)))
     res.trace = [np.asarray(x)]
     return res
 
@@ -304,6 +312,11 @@ def _build_fused_lm_run(ops, cap):
         state = dict(
             x=x0, U=U0, V=V0, Wb=Wb0, gc=gc0, gp=gp0, rw=rw0,
             f=f0, lam=lam_start,
+            # pal: lambda value after the most recent ACCEPTED step —
+            # the host loop's prev_lambda.  Initialized to -1 (never 0,
+            # like the host's None) so convergence cannot fire before
+            # an undamped step has been accepted.
+            pal=jnp.asarray(-1.0, dtype),
             prev_rn=jnp.asarray(jnp.finfo(dtype).max, dtype),
             n=jnp.asarray(0, jnp.int32),
             code=jnp.asarray(OK, jnp.int32),
@@ -311,6 +324,7 @@ def _build_fused_lm_run(ops, cap):
             stall=jnp.asarray(0, jnp.int32),
             res_buf=res_buf, lam_buf=lam_buf,
             done=jnp.asarray(False),
+            sflag=jnp.asarray(False),
         )
 
         def cond_d(s):
@@ -360,21 +374,24 @@ def _build_fused_lm_run(ops, cap):
             f_new = jnp.where(accept, ft, s["f"])
             rn_new = jnp.sqrt(2.0 * f_new)
 
-            # Termination: the criterion holds for an undamped
-            # (lam == 0) solve.  Acceptance is NOT required — at the
-            # optimum the lam-0 trial is negligible and ft == f
-            # rejects it, which IS convergence (the host loop's
-            # prev_lambda == 0 check fires on the same solve).
+            # Termination (host-loop parity, solvers.levenberg_marquardt
+            # lines 312-318): the criterion is checked after an ACCEPTED
+            # step, gated on prev_lambda == 0 — i.e. the PREVIOUS
+            # accepted step left lambda at 0 (pal), and this iteration's
+            # solve satisfies ||Jp|| <= tol ||r|| at the new point.
             crit = jnp.where(abs_term, rn_new <= tol,
                              jp_norm <= tol * rn_new)
-            term = (~failed) & (s["lam"] == 0.0) & crit
+            term = accept & (s["pal"] == 0.0) & crit
+            pal = jnp.where(accept, lam_new, s["pal"])
             # f32 floor-stall rule on accepted steps.
             stalled = accept & (
                 s["prev_rn"] - rn_new <= stall_tol * s["prev_rn"])
             stall = jnp.where(stalled, s["stall"] + 1,
                               jnp.where(accept, 0, s["stall"])).astype(
                 jnp.int32)
-            term = term | (stall >= 2)
+            stall_term = stall >= 2
+            term = term | stall_term
+            sflag = s["sflag"] | stall_term
             prev_rn = jnp.where(accept, rn_new, s["prev_rn"])
 
             over = (~term) & (~failed) & (n_new > max_iter)
@@ -383,12 +400,14 @@ def _build_fused_lm_run(ops, cap):
                 jnp.where(over, TOO_MANY_ITERS, OK)).astype(jnp.int32)
             return dict(
                 x=x_new, U=U, V=V, Wb=Wb, gc=gc, gp=gp, rw=rw,
-                f=f_new, lam=lam_new, prev_rn=prev_rn, n=n_new,
+                f=f_new, lam=lam_new, pal=pal, prev_rn=prev_rn, n=n_new,
                 code=code, boosts=boosts, stall=stall,
-                res_buf=res_buf, lam_buf=lam_buf, done=term)
+                res_buf=res_buf, lam_buf=lam_buf, done=term,
+                sflag=sflag)
 
         s = jax.lax.while_loop(cond_d, body_d, state)
         rw = ops._weighted_residual(s["x"])
-        return s["x"], s["n"], s["code"], s["res_buf"], s["lam_buf"], rw
+        return (s["x"], s["n"], s["code"], s["res_buf"], s["lam_buf"],
+                rw, lam0, lmin, s["sflag"])
 
     return ops.hoisted_jit(run)

@@ -486,6 +486,20 @@ class SchurOps(BundleOps):
             )
         return S[:nc, :nc]
 
+    @property
+    def schur_S_jit(self):
+        """Jitted, constant-hoisted S build for post-solve consumers
+        (covariance.factorize): eager op-by-op dispatch of _schur_S at
+        Hamburg scale costs tens of seconds over a tunneled TPU and
+        never hits the persistent compile cache."""
+        fn = getattr(self, "_schur_S_jitted", None)
+        if fn is None:
+            from .precision import with_highest_precision
+
+            fn = self.hoisted_jit(with_highest_precision(self._schur_S))
+            self._schur_S_jitted = fn
+        return fn
+
     def _pair_acc(self, Yf):
         """Per-camera-pair fill-in blocks (n_campair, nb*nb) from flat
         whitened rows Yf = W L (n_obs, nb*3)."""

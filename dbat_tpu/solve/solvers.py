@@ -144,6 +144,7 @@ def gauss_newton_armijo(
             # (A veto rejection is a genuine failure, not the floor —
             # it must keep the LINESEARCH_FAILED path.)
             res.res_norms.append(float(jnp.linalg.norm(rw)))
+            res.damping["floor_stall"] = True
             break
         if alpha == 0.0 and term_fun(jp_norm / FLOOR_FACTOR, rnorm):
             # Converged at the numerical floor: no f64-measurable
@@ -169,6 +170,7 @@ def gauss_newton_armijo(
             stall += 1
             if stall >= 2:
                 res.res_norms.append(cur)
+                res.damping["floor_stall"] = True
                 break  # OK: converged at the f32 floor
         else:
             stall = 0
