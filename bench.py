@@ -27,7 +27,15 @@ Reported:
   * main metric: warm bundle iterations/s (fixed 10-iteration run);
   * cold time-to-convergence (process start -> converged x, including
     network generation, plan construction and jit/compile);
-  * warm time-to-convergence (plans + executables warm).
+  * warm time-to-convergence (plans + executables warm);
+  * roma-shape watchdog: the sparse-ray regime (353 cameras, mean 3.4
+    rays/point, fixed IO — romabundledemo's shape,
+    roma-dbatreport.txt:22-23) through the SHIPPED bundle() driver
+    with LM damping, watching cold + warm TTC.  Round 4 hid a 145 s
+    host-loop LM bundle in exactly this shape (POSEGRAPH_C5.md);
+    bench.py only watched the dense-ray C5 shape, so the regression
+    was invisible.  DBAT baseline for the real roma network: 5 iters
+    in 5.21 s (roma-dbatreport.txt:41,45).
 
 A convergence gate zeroes the metric if the final weighted residual is
 not at the noise floor (silent numerical breakage must not inflate
@@ -46,6 +54,63 @@ BASELINE_ITERS_PER_S = 2.0 / 11.85  # stpierrePS_C5-dbatreport.txt:41,45
 BASELINE_BUNDLE_S = 11.85
 
 T_START = time.time()
+
+# DBAT on the real roma network: 5 iterations in 5.21 s
+# (roma-dbatreport.txt:41,45).
+BASELINE_ROMA_BUNDLE_S = 5.21
+
+
+def _bench_roma_shape():
+    """Sparse-ray watchdog: romabundledemo's shape through the shipped
+    bundle() driver (f32 LM on the Schur backend -> fused_lm + f64
+    polish).  Returns {'ok', 'cold_s', 'warm_s', 'iters', 'sigma0'};
+    ok requires the noise floor, like the main gate."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from dbat_tpu.core.serial import build_serial
+    from dbat_tpu.pipeline.synthetic import make_ring_network, perturb
+    from dbat_tpu.solve.bundle import bundle
+
+    def net():
+        r = make_ring_network(
+            n_img=353, n_pt=26321, rays_per_pt=(2, 8),
+            n_obs_target=90561, n_ctrl=8, noise_px=0.1, ip_std_px=0.1,
+            seed=23,
+        )
+        perturb(r, eo_pos=0.02, eo_ang=0.004, op_pos=0.02, seed=24)
+        return r
+
+    r = net()
+    spec = build_serial(r)
+    dof = 2 * r.n_obs - spec.n_x
+    floor = float(np.sqrt(dof))
+    t0 = time.time()
+    _p, ok, iters, sigma0, _info = bundle(
+        r, damping="lm", dtype=jnp.float32, backend="schur",
+        max_iter=40, conv_tol=1.02 * floor, abs_term=True)
+    cold_s = time.time() - t0
+    warm_s = float("inf")
+    for _ in range(2):
+        r2 = net()
+        t0 = time.time()
+        _p, ok2, iters, sigma0, _info = bundle(
+            r2, damping="lm", dtype=jnp.float32, backend="schur",
+            max_iter=40, conv_tol=1.02 * floor, abs_term=True)
+        warm_s = min(warm_s, time.time() - t0)
+        ok = ok and ok2
+    out = {"ok": bool(ok) and float(sigma0) < 1.05,
+           "cold_s": cold_s, "warm_s": warm_s, "iters": int(iters),
+           "sigma0": float(sigma0)}
+    print(
+        f"# roma shape (353 cams, {r.n_obs} obs, mean "
+        f"{r.n_obs / r.n_op:.1f} rays/pt, fixed IO): bundle(lm,f32) "
+        f"cold {cold_s:.1f}s | warm {warm_s:.2f}s = "
+        f"{BASELINE_ROMA_BUNDLE_S / warm_s:.1f}x DBAT roma bundle | "
+        f"{iters} iters, sigma0 {sigma0:.4f} (ok={out['ok']})",
+        file=sys.stderr,
+    )
+    return out
 
 
 def main():
@@ -129,12 +194,15 @@ def main():
     sigma0 = rn_final / floor
     converged = (res.code == 0) and (rn_ttc <= floor) and (sigma0 < 1.05)
 
+    # --- roma-shape watchdog (sparse rays, LM, shipped driver). ------
+    roma = _bench_roma_shape()
+
     out = {
         "metric": "c5_scale_bundle_iters_per_s",
-        "value": round(iters_per_s, 4) if converged else 0.0,
+        "value": round(iters_per_s, 4) if converged and roma["ok"] else 0.0,
         "unit": "iters/s",
         "vs_baseline": round(iters_per_s / BASELINE_ITERS_PER_S, 2)
-        if converged else 0.0,
+        if converged and roma["ok"] else 0.0,
     }
     print(json.dumps(out))
     print(

@@ -155,7 +155,25 @@ def build_serial(project) -> SerialSpec:
 
 
 def serialize(spec: SerialSpec, io, eo, op):
-    """Gather x from parameter arrays (numpy or jnp)."""
+    """Gather x from parameter arrays (numpy or jnp).
+
+    Host (numpy) inputs take a pure-numpy path: the eager device
+    scatters cost a small XLA compile *each* at Hamburg scale, which
+    dominated the true-cold setup (~20 s on an empty compile cache
+    over a tunneled TPU) for what is a host-side bookkeeping gather.
+    """
+    if all(isinstance(a, np.ndarray) for a in (io, eo, op)):
+        x = np.zeros(spec.n_x, dtype=io.dtype)
+        for arr, x_map, lead in (
+            (io, spec.io_x, spec.io_leading),
+            (eo, spec.eo_x, spec.eo_leading),
+            (op, spec.op_x, spec.op_leading),
+        ):
+            idx = x_map[lead]
+            vals = arr[lead]
+            m = idx >= 0
+            x[idx[m]] = vals[m]
+        return x
     import jax.numpy as jnp
 
     x = jnp.zeros(spec.n_x, dtype=jnp.asarray(io).dtype)

@@ -1,0 +1,201 @@
+"""AOT executable store: true cold starts without the XLA compile.
+
+The reference is a single MATLAB process with no compile step; DBAT's
+11.85 s stpierre-C5 run is all compute (stpierrePS_C5-dbatreport
+.txt:41,45).  On TPU the XLA compile of a Hamburg-scale fused bundle
+loop costs ~60-140 s, and JAX's own persistent compile cache keys on
+the serialized HLO *including location metadata*, so two scripts (or
+two line-shifted versions of the same file) tracing the identical
+computation miss each other's entries (measured round 4/5: bench.py
+primed the cache, posegraph_c5.py re-paid the full compile minutes
+later).
+
+This store fixes both problems:
+
+  * the key is a sha256 of the *location-stripped* StableHLO plus the
+    device kind / device count / jax version — identical computations
+    hit the same entry no matter which script traced them or how the
+    source lines shifted, while any real change to the computation
+    still invalidates;
+  * entries are `jax.experimental.serialize_executable` payloads — a
+    fresh process (or a fresh machine with the same device kind)
+    deserializes the finished executable instead of compiling.
+
+Lookup order: the git-committed snapshot directory `aot/` at the repo
+root (flagship shapes, written by scripts/prime_aot.py) first, then
+the per-machine store `.jax_cache/aot/` (written automatically on
+every compile).  DBAT_AOT=0 disables, DBAT_AOT_DIR overrides the
+per-machine store.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+import re
+import tempfile
+
+import jax
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+#: loc(...) operand metadata and trailing #loc tables: parts of the
+#: StableHLO text that vary across call sites / line shifts.
+_LOC_RE = re.compile(r"loc\(.*\)")
+_LOCTAB_RE = re.compile(r"^#loc.*$", re.MULTILINE)
+#: Serialized Mosaic (Pallas) kernel bodies inside tpu_custom_call
+#: backend_configs: base64 MLIR bytecode whose string table embeds the
+#: *trace-time Python call stack* (script filename, caller function
+#: names), so the same kernel traced from two scripts hashes
+#: differently.  The blobs are dropped from the key text; kernel
+#: semantics are covered by the operand/result shapes + kernel_name
+#: that stay in the line, plus a source hash of the kernel-defining
+#: modules (_KERNEL_SOURCES below) so real kernel-code edits still
+#: invalidate.
+_B64_RE = re.compile(r"[A-Za-z0-9+/]{256,}={0,2}")
+_KERNEL_SOURCES = ("pallas_kernels.py", "flatsel.py")
+
+
+def _kernel_src_hash() -> str:
+    h = hashlib.sha256()
+    here = os.path.dirname(os.path.abspath(__file__))
+    for name in _KERNEL_SOURCES:
+        try:
+            with open(os.path.join(here, name), "rb") as fh:
+                h.update(fh.read())
+        except OSError:
+            h.update(name.encode())
+    return h.hexdigest()
+
+
+def enabled() -> bool:
+    """On by default on TPU only: XLA:CPU serialized executables embed
+    compile-machine feature lists that do not round-trip (the loader
+    warns about possible SIGILL), and CPU compiles are cheap anyway.
+    DBAT_AOT=1 forces on, DBAT_AOT=0 forces off."""
+    env = os.environ.get("DBAT_AOT", "")
+    if env in ("0", "1"):
+        return env == "1"
+    return jax.default_backend() == "tpu"
+
+
+def _stores():
+    """(read-only snapshot dir, read/write machine store)."""
+    snap = os.path.join(_REPO_ROOT, "aot")
+    rw = os.environ.get(
+        "DBAT_AOT_DIR",
+        os.path.join(_REPO_ROOT, ".jax_cache", "aot"))
+    return snap, rw
+
+
+def canonical_key(lowered) -> str:
+    """Location-independent key for a jax.stages.Lowered."""
+    txt = lowered.as_text()
+    txt = _LOC_RE.sub("", txt)
+    txt = _LOCTAB_RE.sub("", txt)
+    txt = _B64_RE.sub("<blob>", txt)
+    devs = jax.devices()
+    sig = "|".join([
+        txt, _kernel_src_hash(), jax.__version__,
+        devs[0].device_kind, str(len(devs)),
+    ])
+    return hashlib.sha256(sig.encode()).hexdigest()[:32]
+
+
+def load(key: str):
+    """Deserialize a stored executable; None on miss or any failure
+    (wrong device kind/topology, version skew — the caller compiles)."""
+    from jax.experimental import serialize_executable as se
+
+    for store in _stores():
+        path = os.path.join(store, key + ".aotx")
+        if not os.path.exists(path):
+            continue
+        try:
+            with open(path, "rb") as fh:
+                payload, in_tree, out_tree = pickle.load(fh)
+            return se.deserialize_and_load(payload, in_tree, out_tree)
+        except Exception:  # noqa: BLE001 — any failure means recompile
+            continue
+    return None
+
+
+def store(key: str, compiled) -> str | None:
+    """Serialize a compiled executable into the machine store (atomic
+    write); returns the path, or None if this executable cannot be
+    serialized (e.g. jit-of-callback programs)."""
+    from jax.experimental import serialize_executable as se
+
+    try:
+        payload = se.serialize(compiled)
+    except Exception:  # noqa: BLE001
+        return None
+    _snap, rw = _stores()
+    os.makedirs(rw, exist_ok=True)
+    path = os.path.join(rw, key + ".aotx")
+    fd, tmp = tempfile.mkstemp(dir=rw, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as fh:
+            pickle.dump(payload, fh)
+        os.replace(tmp, path)
+    except Exception:  # noqa: BLE001
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        return None
+    return path
+
+
+def _debug(msg):
+    if os.environ.get("DBAT_AOT_DEBUG"):
+        import sys
+        import time
+
+        print(f"[aot {time.time():.1f}] {msg}", file=sys.stderr,
+              flush=True)
+
+
+def load_or_compile(jitted, args):
+    """AOT-aware compile of `jitted` for the avals of `args`.
+
+    Returns (compiled, key).  On a store hit the finished executable
+    loads in O(executable size); on a miss it compiles once and writes
+    the entry so every later process (and every other script tracing
+    the same computation) hits.  DBAT_AOT_DEBUG=1 prints stage
+    timings.
+    """
+    import time
+
+    t0 = time.time()
+    lowered = jitted.lower(*args)
+    t1 = time.time()
+    key = canonical_key(lowered)
+    t2 = time.time()
+    # In-process memo first: a second ops instance with identical HLO
+    # (e.g. the same network rebuilt, or covariance re-deriving the
+    # bundle's executable) must reuse the already-loaded executable —
+    # a disk re-load re-uploads the full program to the device (~5 s
+    # per 100 MB over a tunnel).
+    compiled = _MEM.get(key)
+    if compiled is not None:
+        _debug(f"lower {t1 - t0:.1f}s key {t2 - t1:.1f}s memo hit")
+        return compiled, key
+    compiled = load(key)
+    t3 = time.time()
+    _debug(f"lower {t1 - t0:.1f}s key {t2 - t1:.1f}s "
+           f"load({key[:8]}) {t3 - t2:.1f}s hit={compiled is not None}")
+    if compiled is None:
+        compiled = lowered.compile()
+        t4 = time.time()
+        path = store(key, compiled)
+        _debug(f"compile {t4 - t3:.1f}s store {time.time() - t4:.1f}s "
+               f"-> {path}")
+    _MEM[key] = compiled
+    return compiled, key
+
+
+#: key -> loaded Compiled for this process (see load_or_compile).
+_MEM: dict = {}

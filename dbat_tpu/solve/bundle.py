@@ -383,9 +383,17 @@ def _bundle_impl(
     # solve converged OR stalled at the f32 noise floor (line-search
     # failure / iteration cap near the optimum are the expected f32
     # endgames); a polish that converges by the same criterion makes
-    # the overall run OK.
+    # the overall run OK.  When the chip certified the ABSOLUTE
+    # criterion outright (no floor-stall), the user's requested
+    # tolerance is met in a scale-meaningful metric and the ~f64-CPU
+    # polish (seconds at Hamburg scale) buys nothing the criterion
+    # asked for — skip it by default (polish=N forces it).
+    certified_abs = (
+        res.code == solvers.OK and abs_term
+        and not res.damping.get("floor_stall", False))
     if polish is None:
-        polish = 2 if np.dtype(dtype) == np.float32 and mesh is None else 0
+        polish = (2 if np.dtype(dtype) == np.float32 and mesh is None
+                  and not certified_abs else 0)
     can_polish = (
         polish > 0 and np.dtype(dtype) == np.float32 and mesh is None
         and res.x is not None

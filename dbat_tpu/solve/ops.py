@@ -89,6 +89,11 @@ class BundleOps:
         prior_w_np = np.concatenate([pio[2], peo[2], pop[2]])
 
         # --- Device constants (single host->device transfers).
+        # Host copies kept for x0(): serialization is host bookkeeping
+        # (see core/serial.serialize numpy path).
+        self._base_io_np = np.asarray(p.io, np.dtype(dtype))
+        self._base_eo_np = np.asarray(p.eo, np.dtype(dtype))
+        self._base_op_np = np.asarray(p.op, np.dtype(dtype))
         self.base_io = jnp.asarray(p.io, dtype)
         self.base_eo = jnp.asarray(p.eo, dtype)
         self.base_op = jnp.asarray(p.op, dtype)
@@ -160,7 +165,14 @@ class BundleOps:
 
     def hoisted_jit(self, impl):
         """jit(impl) with this object's large device-array attributes
-        passed as arguments instead of baked-in constants."""
+        passed as arguments instead of baked-in constants.
+
+        Dispatch goes through the AOT executable store (solve/aot.py)
+        when enabled: the first call lowers, looks the location-
+        stripped HLO key up, and either deserializes the finished
+        executable (true cold start, no XLA compile) or compiles once
+        and stores it.  Any aval/topology mismatch falls back to the
+        plain jit path permanently (correctness first)."""
         slots = self._const_slots()
 
         def wrapper(args, consts):
@@ -174,9 +186,28 @@ class BundleOps:
                     setattr(o, n, v)
 
         jitted = jax.jit(wrapper)
+        aot_state = {"exec": None}  # None = unresolved, False = bypass
 
         def call(*args):
             consts = [getattr(o, n) for o, n in slots]
+            ex = aot_state["exec"]
+            if ex is None:
+                from . import aot
+
+                if aot.enabled():
+                    try:
+                        ex, _key = aot.load_or_compile(
+                            jitted, (tuple(args), consts))
+                    except Exception:  # noqa: BLE001
+                        ex = False
+                else:
+                    ex = False
+                aot_state["exec"] = ex
+            if ex is not False:
+                try:
+                    return ex(tuple(args), consts)
+                except Exception:  # noqa: BLE001 — e.g. new avals
+                    aot_state["exec"] = False
             return jitted(tuple(args), consts)
 
         return call
@@ -196,7 +227,9 @@ class BundleOps:
     def x0(self):
         from ..core.serial import serialize
 
-        return serialize(self.spec, self.base_io, self.base_eo, self.base_op)
+        return jnp.asarray(serialize(
+            self.spec, self._base_io_np, self._base_eo_np,
+            self._base_op_np))
 
     # -- residuals ----------------------------------------------------------
     def _ip_residual(self, io, eo, op):

@@ -625,24 +625,28 @@ class SchurOps(BundleOps):
         f32 = self.dtype == jnp.float32
         if f32:
             eye = jnp.eye(nc, dtype=self.dtype)
+            # Single Cholesky instance inside a while_loop over the
+            # rungs (was a nested-cond ladder with four separate
+            # cholesky instantiations: at 717x717 each instance is
+            # ~4.4 MB of generated TPU code, and executable size is
+            # what a cold process ships through the tunnel).  Top
+            # rung 1e-2: a 353+-camera sparse-ray network far from
+            # the optimum can be indefinite at the 1e-3 level in f32;
+            # 1e-2 turns the step into a heavily damped (still
+            # descent) GN direction instead of NaN.
+            rungs = jnp.asarray([3e-6, 1e-4, 1e-3, 1e-2], self.dtype)
 
-            def try_chol(eps, fallback):
-                Lt = jnp.linalg.cholesky(Ss + eps * eye)
-                return jax.lax.cond(jnp.isnan(Lt).any(),
-                                    fallback, lambda: Lt)
+            def chol_cond(st):
+                i, L = st
+                return (i < rungs.shape[0]) & jnp.isnan(L).any()
 
-            L = try_chol(
-                3e-6,
-                lambda: try_chol(
-                    1e-4,
-                    lambda: try_chol(
-                        1e-3,
-                        # Top rung: a 353+-camera sparse-ray network
-                        # far from the optimum can be indefinite at
-                        # the 1e-3 level in f32; 1e-2 turns the step
-                        # into a heavily damped (still descent) GN
-                        # direction instead of NaN.
-                        lambda: jnp.linalg.cholesky(Ss + 1e-2 * eye))))
+            def chol_body(st):
+                i, _L = st
+                return i + 1, jnp.linalg.cholesky(Ss + rungs[i] * eye)
+
+            _, L = jax.lax.while_loop(
+                chol_cond, chol_body,
+                (jnp.asarray(0, jnp.int32), jnp.full_like(Ss, jnp.nan)))
         else:
             L = jnp.linalg.cholesky(Ss)
 
@@ -659,10 +663,12 @@ class SchurOps(BundleOps):
             # decades until the f32 matvec floor — which already sits
             # below the ~1e-4 assembly error in Ss itself, so f64
             # residuals (software-emulated on TPU, ~35ms/step) buy
-            # nothing.
-            for _ in range(self.refine_iters):
-                r = b - Ss @ q
-                q = q + tri_solve(r)
+            # nothing.  fori_loop so the triangular-solve pair is
+            # instantiated once, not refine_iters times (code size =
+            # cold-start bytes, see the rung loop above).
+            q = jax.lax.fori_loop(
+                0, self.refine_iters,
+                lambda _i, qq: qq + tri_solve(b - Ss @ qq), q)
         pc = Dinv * q
         pp = self._backsub(Vinv, Wb, rp, pc)
         return self.join_x(pc, pp), L
