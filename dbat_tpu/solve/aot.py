@@ -117,7 +117,14 @@ def load(key: str):
             with open(path, "rb") as fh:
                 payload, in_tree, out_tree = pickle.load(fh)
             return se.deserialize_and_load(payload, in_tree, out_tree)
-        except Exception:  # noqa: BLE001 — any failure means recompile
+        except Exception as e:  # noqa: BLE001 — failure means recompile
+            # Loud: a transient deserialize failure silently costs a
+            # full recompile (~1-2 min at Hamburg scale), which would
+            # otherwise be indistinguishable from a key miss.
+            import sys
+
+            print(f"dbat_tpu.aot: failed to load {path}: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr)
             continue
     return None
 

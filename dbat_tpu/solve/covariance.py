@@ -25,6 +25,38 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .precision import with_highest_precision
+
+
+@jax.jit
+@with_highest_precision
+def _cop_chunks(obs_sel, ccs, lpts, Vj, Wb_pad, L, Dinv):
+    """All COP chunks in one lax.scan: per chunk, scatter the
+    V^-1-folded coupling blocks into a dense Ncp, one triangular
+    solve against the reduced factor, Gram product (see cop()).
+
+    A single jitted executable (AOT-stored) replaces the former
+    eager per-chunk loop, whose individual einsum/scatter/solve ops
+    each paid an XLA compile on a cold cache — 278 s for 9 chunks at
+    C5 scale, measured round 5."""
+    n_c = Dinv.shape[0]
+    chunk = Vj.shape[1]
+    dtype = L.dtype
+
+    def one_chunk(carry, inp):
+        osel, cc, lpt, V = inp
+        W = Wb_pad[osel]  # (S_co, n_cb, 3)
+        Ncp = jnp.zeros((n_c + 1, chunk + 1, 3), dtype)
+        Ncp = Ncp.at[cc, lpt[:, None]].add(W)
+        Ncp = Dinv[:, None] * Ncp[:n_c, :chunk].reshape(n_c, chunk * 3)
+        y = jax.scipy.linalg.solve_triangular(L, Ncp, lower=True)
+        y = y.reshape(n_c, chunk, 3)
+        blk = V + jnp.einsum("cja,cjb->jab", y, y)
+        return carry, blk
+
+    _, blks = jax.lax.scan(one_chunk, 0, (obs_sel, ccs, lpts, Vj))
+    return blks
+
 
 class Covariance:
     """Posterior covariance extractor; factorizes once, serves blocks.
@@ -300,43 +332,37 @@ class Covariance:
             mask = est[:, :, None] & est[:, None, :]
             return np.where(mask, out, 0.0) * self.s0_2
 
-        ops = self.ops
-        Vinv = self._schur["Vinv"]
-        Wb = self._schur["Wb"]
-        L = self._schur["L"]
-        n_c = ops.n_c
-        obs_pt = np.asarray(self.project.obs_pt)
-        cam_cols = ops.cols_np[:, ops.cam_active]
+        # Fold V^-1 into the coupling blocks per OBSERVATION before
+        # the scatter (10x cheaper than the per-(camera, point)
+        # Z = y V^-1 it replaces), so each block is the Gram y'y plus
+        # V^-1: its diagonal is a sum of squares, non-negative in f32
+        # by construction (the V^-1 G V^-1 triple product is not).
+        # All chunks run in one jitted scan (_cop_chunks, AOT-stored).
+        # Plans + device transfers are cached per (instance, chunk):
+        # repeat calls (report covariance sections, posterior_std) pay
+        # only the scan execution.
+        cached = getattr(self, "_cop_plan_cache", None)
+        if cached is None or cached[0] != chunk:
+            obs_sel, ccs, lpts, Vj, Wb_pad, n_pad = self._chunk_plans(
+                chunk)
+            args = (jnp.asarray(obs_sel), jnp.asarray(ccs),
+                    jnp.asarray(lpts), Vj, Wb_pad, self._schur["L"],
+                    self._schur["Dinv"])
+            self._cop_plan_cache = (chunk, args, n_pad)
+        else:
+            _chunk, args, n_pad = cached
+        from . import aot
 
-        out = np.zeros((p.n_op, 3, 3))
-        Wb_np = None
-        for start in range(0, p.n_op, chunk):
-            stop = min(start + chunk, p.n_op)
-            q = stop - start
-            sel = np.flatnonzero((obs_pt >= start) & (obs_pt < stop))
-            local_pt = obs_pt[sel] - start
-            # Dense Ncp chunk: (n_c+1, q, 3) with dump row for fixed cols.
-            cc = cam_cols[sel]
-            cc = np.where(cc >= 0, cc, n_c)
-            Ncp = jnp.zeros((n_c + 1, q, 3), L.dtype)
-            # Fold V^-1 into the coupling blocks per OBSERVATION before
-            # the scatter (n_obs 3x3 matmuls — 10x cheaper than the
-            # per-(camera, point) Z = y V^-1 it replaces), so the final
-            # block is the Gram y'y: its diagonal is a sum of squares,
-            # non-negative in f32 by construction (the V^-1 G V^-1
-            # triple product is not).
-            W2 = jnp.einsum("kab,kbc->kac", Wb[jnp.asarray(sel)],
-                            Vinv[jnp.asarray(obs_pt[sel])])
-            Ncp = Ncp.at[jnp.asarray(cc), jnp.asarray(local_pt)[:, None]].add(
-                W2
-            )
-            Ncp = self._schur["Dinv"][:, None] * Ncp[:n_c].reshape(
-                n_c, q * 3)
-            y = jax.scipy.linalg.solve_triangular(L, Ncp, lower=True)
-            y = y.reshape(n_c, q, 3)
-            Vj = Vinv[start:stop]
-            blk = Vj + jnp.einsum("cja,cjb->jab", y, y)
-            out[start:stop] = np.asarray(blk)
+        blks = None
+        if aot.enabled():
+            try:
+                ex, _key = aot.load_or_compile(_cop_chunks, args)
+                blks = ex(*args)
+            except Exception:  # noqa: BLE001
+                blks = None
+        if blks is None:
+            blks = _cop_chunks(*args)
+        out = np.asarray(blks).reshape(n_pad, 3, 3)[: p.n_op]
 
         # Zero rows/cols of fixed coordinates (they carry the identity
         # placeholder in V).
@@ -345,34 +371,25 @@ class Covariance:
         out = np.where(mask, out, 0.0)
         return out * self.s0_2
 
-    def _cop_sharded(self, chunk: int, mesh):
-        """COP chunk loop distributed over a device mesh.
+    def _chunk_plans(self, chunk: int, multiple: int = 1):
+        """Host-side padded per-chunk gather plans for the COP scan
+        (bundle_cov.m's 256 MB blocking, VectorizedCOP :397-401).
 
-        Host side builds per-chunk padded gather plans; device side is a
-        shard_map over the chunk axis with the Schur factor L and the
-        camera-point blocks Wb replicated, a lax.scan over each
-        device's local chunks keeping exactly one chunk's Ncp live
-        (same math as the host loop: y = L^-1 Ncp, G = y'y,
-        blk = V^-1 + V^-1 G V^-1)."""
-        import jax.lax as lax
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        from jax import shard_map
-
+        Pure numpy until the final transfers: eager device ops here
+        each cost a compile + tunnel dispatch.  `multiple` rounds the
+        chunk count up to a multiple (device count for the sharded
+        path).  Returns (obs_sel, ccs, lpts, Vj, Wb_pad, n_pad)."""
         ops = self.ops
         p = self.project
-        Vinv = self._schur["Vinv"]
-        Wb = self._schur["Wb"]
-        L = self._schur["L"]
+        Vinv = np.asarray(self._schur["Vinv"])
+        Wb = np.asarray(self._schur["Wb"])
+        dtype = np.dtype(self._schur["L"].dtype)
         n_c = ops.n_c
         n_cb = Wb.shape[1]
-        dtype = L.dtype
-        ax = list(mesh.shape)[0]
-        n_sh = int(np.prod(list(mesh.shape.values())))
-
         n_op = p.n_op
-        chunk = min(chunk, max(-(-n_op // n_sh), 1))
+        chunk = min(chunk, max(-(-n_op // multiple), 1))
         n_chunks = -(-n_op // chunk)
-        n_chunks = -(-n_chunks // n_sh) * n_sh  # multiple of n_sh
+        n_chunks = -(-n_chunks // multiple) * multiple
         n_pad = n_chunks * chunk
 
         obs_pt = np.asarray(p.obs_pt)
@@ -380,7 +397,6 @@ class Covariance:
         cam_cols = ops.cols_np[:, ops.cam_active]
         cam_cols = np.where(cam_cols >= 0, cam_cols, n_c)
 
-        # Per-chunk padded observation plans.
         order = np.argsort(obs_pt, kind="stable")
         pt_sorted = obs_pt[order]
         cuts = np.searchsorted(pt_sorted, np.arange(0, n_pad + 1, chunk))
@@ -396,15 +412,40 @@ class Covariance:
             lpts[k, :m] = obs_pt[sel] - k * chunk
             ccs[k, :m] = cam_cols[sel]
 
-        Vj = jnp.concatenate(
-            [Vinv, jnp.zeros((n_pad - n_op, 3, 3), dtype)], axis=0
+        Vj = np.concatenate(
+            [Vinv.astype(dtype),
+             np.zeros((n_pad - n_op, 3, 3), dtype)], axis=0
         ).reshape(n_chunks, chunk, 3, 3)
-        # Fold V^-1 into the coupling blocks per observation (see
-        # cop()): the chunk Gram y'y then has a non-negative diagonal.
-        Wv = jnp.einsum("kab,kbc->kac", Wb.astype(dtype),
-                        Vinv[jnp.asarray(obs_pt)].astype(dtype))
-        Wb_pad = jnp.concatenate(
-            [Wv, jnp.zeros((1, n_cb, 3), dtype)], axis=0)
+        Wv = np.einsum("kab,kbc->kac", Wb.astype(dtype),
+                       Vinv[obs_pt].astype(dtype))
+        Wb_pad = np.concatenate(
+            [Wv, np.zeros((1, n_cb, 3), dtype)], axis=0)
+        return obs_sel, ccs, lpts, jnp.asarray(Vj), jnp.asarray(Wb_pad), \
+            n_pad
+
+    def _cop_sharded(self, chunk: int, mesh):
+        """COP chunk loop distributed over a device mesh.
+
+        Host side builds per-chunk padded gather plans; device side is a
+        shard_map over the chunk axis with the Schur factor L and the
+        camera-point blocks Wb replicated, a lax.scan over each
+        device's local chunks keeping exactly one chunk's Ncp live
+        (same math as the host loop: y = L^-1 Ncp, G = y'y,
+        blk = V^-1 + V^-1 G V^-1)."""
+        import jax.lax as lax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax import shard_map
+
+        ops = self.ops
+        L = self._schur["L"]
+        n_c = ops.n_c
+        dtype = L.dtype
+        ax = list(mesh.shape)[0]
+        n_sh = int(np.prod(list(mesh.shape.values())))
+        obs_sel, ccs, lpts, Vj, Wb_pad, n_pad = self._chunk_plans(
+            chunk, multiple=n_sh)
+        chunk = Vj.shape[1]
+        n_op = self.project.n_op
 
         def shard_fn(obs_sel, ccs, lpts, Vj, Wb_pad, L, Dinv):
             def one_chunk(carry, inp):

@@ -123,22 +123,29 @@ def _build_fused_run(ops, cap):
         Np = ops._matvec_impl(U, V, Wb, p)
         return p, g, rw, Np
 
-    def linesearch(x, p, f0, fp0, mu, alpha_min):
+    def linesearch(x, p, f0, fp0, mu, alpha_min, rw0):
+        """Returns (alpha, r_at_accepted_alpha); alpha == 0 on failure
+        (r then holds the last trial, callers must ignore it).  The
+        trial residual rides the loop state so the accepted step's
+        residual needs no recomputation after the outer loop — the
+        weighted-residual body is ~20 MB of generated TPU code per
+        instance, and executable size is cold-start shipping bytes."""
         def cond(st):
-            alpha, accepted, _f = st
+            alpha, accepted, _f, _r = st
             return (~accepted) & (alpha >= alpha_min)
 
         def body(st):
-            alpha, _acc, _f = st
+            alpha, _acc, _f, _r = st
             r = ops._weighted_residual(x + alpha * p)
             f = 0.5 * (r @ r)
             ok = f < f0 + mu * alpha * fp0
-            return (jnp.where(ok, alpha, alpha / 2.0), ok, f)
+            return (jnp.where(ok, alpha, alpha / 2.0), ok, f, r)
 
-        alpha, accepted, f = jax.lax.while_loop(
-            cond, body, (jnp.asarray(1.0, dtype), jnp.asarray(False), f0)
+        alpha, accepted, f, r = jax.lax.while_loop(
+            cond, body,
+            (jnp.asarray(1.0, dtype), jnp.asarray(False), f0, rw0)
         )
-        return jnp.where(accepted, alpha, 0.0)
+        return jnp.where(accepted, alpha, 0.0), r
 
     # f32 floor-stall rule (cf. solvers.gauss_newton_armijo): two
     # consecutive iterations with relative residual decrease below
@@ -152,12 +159,12 @@ def _build_fused_run(ops, cap):
 
         def cond(st):
             (x, n, code, done, res_buf, alpha_buf, prev_rn, stall,
-             sflag) = st
+             sflag, rw_out) = st
             return (~done) & (code == OK)
 
         def body(st):
             (x, n, code, done, res_buf, alpha_buf, prev_rn, stall,
-             sflag) = st
+             sflag, rw_out) = st
             p, g, rw, Np = one_solve(x)
             rnorm = jnp.sqrt(rw @ rw)
             res_buf = res_buf.at[n].set(rnorm)
@@ -170,13 +177,17 @@ def _build_fused_run(ops, cap):
 
             f0 = 0.5 * rnorm**2
             fp0 = g @ p
-            alpha = jnp.where(
-                term, 0.0, linesearch(x, p, f0, fp0, mu, alpha_min))
+            alpha, r_ls = linesearch(x, p, f0, fp0, mu, alpha_min, rw)
+            alpha = jnp.where(term, 0.0, alpha)
             # Keep x untouched whenever no step is taken: x + 0 * p
             # would propagate NaN from a failed (singular) step into
             # the iterate.
             take = (~term) & (alpha > 0.0)
             x_new = jnp.where(take, x + alpha * p, x)
+            # Residual at x_new for every exit path: the accepted
+            # trial's residual when a step was taken, the entry
+            # residual otherwise.
+            rw_out = jnp.where(take, r_ls, rw)
             fail_ls = (~term) & (alpha == 0.0)
             # Converged-at-the-numerical-floor rule (see
             # solvers.gauss_newton_armijo): a failed linesearch with
@@ -205,15 +216,15 @@ def _build_fused_run(ops, cap):
                 jnp.where(over, TOO_MANY_ITERS, OK)
             ).astype(jnp.int32)
             return (x_new, n_new, code, term | at_floor, res_buf,
-                    alpha_buf, rnorm, stall, sflag)
+                    alpha_buf, rnorm, stall, sflag, rw_out)
 
         state = (x0, jnp.asarray(0, jnp.int32), jnp.asarray(OK, jnp.int32),
                  jnp.asarray(False), res_buf, alpha_buf,
                  jnp.asarray(jnp.finfo(dtype).max, dtype),
-                 jnp.asarray(0, jnp.int32), jnp.asarray(False))
+                 jnp.asarray(0, jnp.int32), jnp.asarray(False),
+                 jnp.zeros(ops.n_res, dtype))
         (x, n, code, done, res_buf, alpha_buf, _prev_rn, _stall,
-         sflag) = jax.lax.while_loop(cond, body, state)
-        rw = ops._weighted_residual(x)
+         sflag, rw) = jax.lax.while_loop(cond, body, state)
         return x, n, code, res_buf, alpha_buf, rw, sflag
 
     # Constant-hoisted jit: the static plans are passed as arguments,
@@ -406,8 +417,10 @@ def _build_fused_lm_run(ops, cap):
                 sflag=sflag)
 
         s = jax.lax.while_loop(cond_d, body_d, state)
-        rw = ops._weighted_residual(s["x"])
+        # s["rw"] is the (reassembled) residual at s["x"] for every
+        # exit path — no recomputation (executable size, see
+        # linesearch in _build_fused_run).
         return (s["x"], s["n"], s["code"], s["res_buf"], s["lam_buf"],
-                rw, lam0, lmin, s["sflag"])
+                s["rw"], lam0, lmin, s["sflag"])
 
     return ops.hoisted_jit(run)
