@@ -14,8 +14,11 @@ import numpy as np
 def point_angles(project) -> np.ndarray:
     """Maximum pairwise ray-intersection angle per OP, in radians.
 
-    Mirrors angles.m: for each object point, the largest angle between
-    rays from the observing camera centers. Points with <2 rays get NaN.
+    Mirrors angles.m: for each object point, the angle closest to
+    orthogonal between pairs of rays — each pairwise angle folds to
+    <= 90 deg via acos(abs(inner product)) (angles.m:44-46), then the
+    maximum over pairs.  Single-ray points get 0 (angles.m:35-36);
+    points without rays get NaN.
     """
     p = project
     out = np.full(p.n_op, np.nan)
@@ -25,31 +28,55 @@ def point_angles(project) -> np.ndarray:
     counts = np.diff(np.append(starts, len(pt_sorted)))
     C = p.eo[:, 0:3]
     for s, c in zip(starts, counts):
-        if c < 2:
-            continue
         j = pt_sorted[s]
+        if c < 2:
+            out[j] = 0.0
+            continue
         cams = p.obs_img[order[s:s + c]]
         d = C[cams] - p.op[j]
         n = np.linalg.norm(d, axis=1)
         ok = n > 0
         d = d[ok] / n[ok][:, None]
         if len(d) < 2:
+            out[j] = 0.0
             continue
         G = np.clip(d @ d.T, -1.0, 1.0)
         iu = np.triu_indices(len(d), 1)
-        out[j] = np.arccos(G[iu].min())
+        out[j] = np.max(np.arccos(np.abs(G[iu])))
     return out
 
 
-def coverage(project, cams=None, convex_hull=False) -> np.ndarray:
+def coverage(project, cams=None, convex_hull=False,
+             union=False) -> np.ndarray:
     """Fraction of each image covered by measurements (coverage.m).
 
     Rectangular measure by default (bounding box of the measured points
     over the image area); convex-hull measure with convex_hull=True.
+    union=True pools the measurements of all `cams` into one sensor
+    frame and returns a single-element array (coverage.m third output,
+    the 'union' percentage of the report's camera quality block).
     """
     p = project
     if cams is None:
         cams = np.arange(p.n_img)
+    if union:
+        sel = np.isin(p.obs_img, cams)
+        if not sel.any():
+            return np.zeros(1)
+        w, h = p.sensor_im_size[cams[0]]
+        pts = p.ip_px[sel]
+        if convex_hull:
+            try:
+                from scipy.spatial import ConvexHull
+
+                if len(pts) >= 3:
+                    return np.array(
+                        [min(ConvexHull(pts).volume / (w * h), 1.0)])
+            except Exception:
+                pass
+            return np.zeros(1)
+        ext = pts.max(axis=0) - pts.min(axis=0)
+        return np.array([min(ext[0] * ext[1] / (w * h), 1.0)])
     out = np.zeros(len(cams))
     for k, i in enumerate(cams):
         sel = p.obs_img == i
@@ -71,20 +98,46 @@ def coverage(project, cams=None, convex_hull=False) -> np.ndarray:
     return np.clip(out, 0.0, 1.0)
 
 
-def radial_coverage(project, cams=None) -> np.ndarray:
-    """Radial coverage: max measured radius over half-diagonal
-    (coverage.m 'radial')."""
+def _pp_px(p, i):
+    """Principal point in pixel coordinates (coverage.m:55-61): the
+    solver-frame (px, py) in mm mapped by the same px->mm factor the
+    measurements use; the internal py sign flips to image-down."""
+    s = p.sensor_px_size[i, 0]
+    return np.array([p.io[i, 1] / s, -p.io[i, 2] / s])
+
+
+def _max_rad(p, i):
+    """Max distance from the principal point to an image corner
+    (coverage.m:63-68)."""
+    w, h = p.sensor_im_size[i]
+    cx = np.array([0.5, 0.5, w + 0.5, w + 0.5])
+    cy = np.array([0.5, h + 0.5, h + 0.5, 0.5])
+    pp = _pp_px(p, i)
+    return np.hypot(cx - pp[0], cy - pp[1]).max()
+
+
+def radial_coverage(project, cams=None, union=False) -> np.ndarray:
+    """Radial coverage: max measured radius about the PRINCIPAL POINT
+    over the max corner radius (coverage.m:53-86 — not the image
+    center / half-diagonal).  union=True pools all `cams` (see
+    coverage)."""
     p = project
     if cams is None:
         cams = np.arange(p.n_img)
+    if union:
+        sel = np.isin(p.obs_img, cams)
+        if not sel.any():
+            return np.zeros(1)
+        i = cams[0]
+        r = np.linalg.norm(p.ip_px[sel] - _pp_px(p, i), axis=1).max()
+        return np.clip(np.array([r / _max_rad(p, i)]), 0.0, 1.0)
     out = np.zeros(len(cams))
     for k, i in enumerate(cams):
         sel = p.obs_img == i
         if not sel.any():
             continue
-        c = p.sensor_im_size[i] / 2.0
-        r = np.linalg.norm(p.ip_px[sel] - c, axis=1).max()
-        out[k] = r / np.linalg.norm(c)
+        r = np.linalg.norm(p.ip_px[sel] - _pp_px(p, i), axis=1).max()
+        out[k] = r / _max_rad(p, i)
     return np.clip(out, 0.0, 1.0)
 
 

@@ -516,3 +516,223 @@ def psz_to_pm(psz: PszProject, use_semilocal: bool = False) -> PmProject:
             for i in range(len(psz.ctrl_ids_raw))
         },
     )
+
+
+def write_psz(path: str, s, tie_acc_px: float = 1.0,
+              proj_acc_px: float = 0.1, marker_acc: float = 0.005,
+              L2G=None):
+    """Write a Project as a PhotoScan/Metashape .psz archive — the
+    exact inverse of load_psz (zip with doc.xml + points0.ply +
+    per-camera projections*.ply; element layout mirrored from the
+    shipped sxb.psz; conventions inverted from loadpsz.m):
+
+      * camera transforms: X = inv([P; e4]) @ diag(1,-1,-1,1) with
+        P the DBAT world->cam matrix (loadpsz.m:150-158 inverted);
+      * calibration: f = cc/pixel_width (px), cx/cy center-relative,
+        k_i = K_display_i * focal^(2i), p1 = -P2_display*f,
+        p2 = P1_display*f (loadpsz.m:648-661 inverted; display = PM
+        sign convention = negated internal io);
+      * markers = control points (reference = prior value/std, global
+        frame); tie points = remaining OPs with fresh 0-based track
+        ids; measurements split into pinned marker locations and
+        projection PLYs (px, f32).
+
+    `L2G` (4x4 similarity): when given, cameras and tie points are
+    written in the LOCAL frame local = inv(L2G) @ global and the
+    chunk transform element carries L2G = T@S@R — exercising the
+    loader's frame chain for real.  Requires a single shared camera.
+
+    Built for round-trip testing at C5 scale (VERDICT r4 item 5: the
+    real stpierre C5.psz is externally missing,
+    reference/.MISSING_LARGE_BLOBS) but is a full writer: any
+    single-sensor project exports.
+    """
+    import io as io_mod
+    import zipfile
+
+    from ..models.rotation import world_to_cam_matrix
+    from .ply import ply_write
+
+    n_img = s.n_img
+
+    def fr(v):
+        return repr(float(v))
+
+    W, H = int(s.sensor_im_size[0, 0]), int(s.sensor_im_size[0, 1])
+    # True per-axis pixel sizes: the x/y scale difference (the 'as'
+    # parameter) travels as pixel_width != pixel_height — from_pm
+    # recovers aspect = 1 - pxw/pxh from the sensor format
+    # (project.py from_pm; solver px sizes collapse to y afterwards).
+    if s.sensor_ss_size is not None:
+        pw = float(s.sensor_ss_size[0, 0]) / W
+        ph = float(s.sensor_ss_size[0, 1]) / H
+    else:
+        pw = float(s.sensor_px_size[0, 0])
+        ph = float(s.sensor_px_size[0, 1])
+    io0 = np.asarray(s.io[0], np.float64)
+    f_px = io0[0] / pw
+    cx_rel = io0[1] / pw - W / 2.0
+    cy_rel = (-io0[2]) / ph - H / 2.0
+    nK, nP = s.nK, s.nP
+    K_disp = -io0[5:5 + nK]
+    P_disp = -io0[5 + nK:5 + nK + nP]
+    focal = io0[0]
+    k_ps = [float(-K_disp[i] * focal ** (2 * (i + 1)))
+            for i in range(nK)]
+    p_ps = ([float(P_disp[1] * focal), float(-P_disp[0] * focal)]
+            if nP >= 2 else [])
+
+    if L2G is None:
+        L2G = np.eye(4)
+    G2L = np.linalg.inv(L2G)
+    # T@S@R decomposition for the transform element.
+    A = L2G[:3, :3]
+    scale = float(np.cbrt(np.linalg.det(A)))
+    R_l2g = A / scale
+    t_l2g = L2G[:3, 3]
+
+    D = np.diag([1.0, -1.0, -1.0, 1.0])
+    e4 = np.array([[0.0, 0.0, 0.0, 1.0]])
+
+    X = []
+    for i in range(n_img):
+        R = world_to_cam_matrix(np.asarray(s.eo[i, 3:6], np.float64))
+        C = np.asarray(s.eo[i, 0:3], np.float64)
+        P_g = np.concatenate([R, (-R @ C)[:, None]], axis=1)
+        P_l = P_g @ L2G
+        X.append(np.linalg.inv(np.concatenate([P_l, e4], axis=0)) @ D)
+
+    is_ctrl = np.asarray(s.is_ctrl, bool)
+    ctrl_idx = np.flatnonzero(is_ctrl)
+    tie_idx = np.flatnonzero(~is_ctrl)
+    ps_id_of = {int(j): k for k, j in enumerate(tie_idx)}
+    obs_img = np.asarray(s.obs_img)
+    obs_pt = np.asarray(s.obs_pt)
+    ip = np.asarray(s.ip_px, np.float64)
+
+    x = []
+    a = x.append
+    a('<?xml version="1.0" encoding="UTF-8"?>')
+    a('<document version="1.2.0">')
+    a('  <chunks next_id="1">')
+    a('    <chunk id="0" label="Chunk 1" enabled="true">')
+    a('      <sensors next_id="1">')
+    a('        <sensor id="0" label="synthetic" type="frame">')
+    a(f'          <resolution width="{W}" height="{H}"/>')
+    a(f'          <property name="pixel_width" value="{fr(pw)}"/>')
+    a(f'          <property name="pixel_height" value="{fr(ph)}"/>')
+    a(f'          <property name="focal_length" value="{fr(focal)}"/>')
+    a('          <property name="fixed" value="true"/>')
+    a('          <calibration type="frame" class="adjusted">')
+    a(f'            <resolution width="{W}" height="{H}"/>')
+    a(f'            <f>{fr(f_px)}</f>')
+    a(f'            <cx>{fr(cx_rel)}</cx>')
+    a(f'            <cy>{fr(cy_rel)}</cy>')
+    for i, kv in enumerate(k_ps):
+        if kv != 0.0:
+            a(f'            <k{i+1}>{fr(kv)}</k{i+1}>')
+    for i, pv in enumerate(p_ps):
+        if pv != 0.0:
+            a(f'            <p{i+1}>{fr(pv)}</p{i+1}>')
+    a('          </calibration>')
+    a('        </sensor>')
+    a('      </sensors>')
+    a(f'      <cameras next_id="{n_img}">')
+    for i in range(n_img):
+        a(f'        <camera id="{i}" label="img{i:04d}.jpg" '
+          'sensor_id="0" enabled="true">')
+        a('          <transform>'
+          + " ".join(f"{v:.16e}" for v in X[i].reshape(-1))
+          + '</transform>')
+        a('        </camera>')
+    a('      </cameras>')
+    a(f'      <markers next_id="{len(ctrl_idx)}">')
+    for mi, j in enumerate(ctrl_idx):
+        v = np.asarray(s.prior_op_val[j], np.float64)
+        sd = np.asarray(s.prior_op_std[j], np.float64)
+        a(f'        <marker id="{mi}" label="{s.op_labels[j]}">')
+        a(f'          <reference x="{fr(v[0])}" y="{fr(v[1])}" '
+          f'z="{fr(v[2])}" sx="{fr(sd[0])}" sy="{fr(sd[1])}" '
+          f'sz="{fr(sd[2])}" enabled="true"/>')
+        a('        </marker>')
+    a('      </markers>')
+    a('      <frames next_id="1">')
+    a('        <frame id="0">')
+    a('          <cameras>')
+    for i in range(n_img):
+        a(f'            <camera camera_id="{i}">')
+        a(f'              <photo path="images/img{i:04d}.jpg"/>')
+        a('            </camera>')
+    a('          </cameras>')
+    a('          <markers>')
+    for mi, j in enumerate(ctrl_idx):
+        rows = np.flatnonzero(obs_pt == j)
+        if not len(rows):
+            continue
+        a(f'            <marker marker_id="{mi}">')
+        for r in rows:
+            a(f'              <location camera_id="{obs_img[r]}" '
+              f'pinned="true" x="{fr(ip[r,0])}" y="{fr(ip[r,1])}"/>')
+        a('            </marker>')
+    a('          </markers>')
+    a('          <point_cloud>')
+    a('            <points path="points0.ply"/>')
+    for i in range(n_img):
+        a(f'            <projections camera_id="{i}" '
+          f'path="projections{i}.ply"/>')
+    a('          </point_cloud>')
+    a('        </frame>')
+    a('      </frames>')
+    a('      <transform>')
+    a('        <rotation>'
+      + " ".join(f"{v:.16e}" for v in R_l2g.T.reshape(-1))
+      + '</rotation>')
+    a('        <translation>'
+      + " ".join(f"{v:.16e}" for v in t_l2g) + '</translation>')
+    a(f'        <scale>{fr(scale)}</scale>')
+    a('      </transform>')
+    a('      <settings>')
+    a(f'        <property name="accuracy_tiepoints" '
+      f'value="{fr(tie_acc_px)}"/>')
+    a(f'        <property name="accuracy_markers" '
+      f'value="{fr(marker_acc)}"/>')
+    a(f'        <property name="accuracy_projections" '
+      f'value="{fr(proj_acc_px)}"/>')
+    a('      </settings>')
+    a('    </chunk>')
+    a('  </chunks>')
+    a('</document>')
+
+    # Tie points in the LOCAL frame (ps2pmstruct maps them to global).
+    op_g = np.concatenate(
+        [np.asarray(s.op[tie_idx], np.float64),
+         np.ones((len(tie_idx), 1))], axis=1)
+    op_l = (G2L @ op_g.T).T[:, :3]
+
+    def ply_bytes(elements):
+        import tempfile as tf
+
+        with tf.NamedTemporaryFile(suffix=".ply") as fh:
+            ply_write(fh.name, elements)
+            fh.seek(0)
+            return fh.read()
+
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("doc.xml", "\n".join(x) + "\n")
+        z.writestr("points0.ply", ply_bytes({"vertex": {
+            "x": op_l[:, 0].astype(np.float32),
+            "y": op_l[:, 1].astype(np.float32),
+            "z": op_l[:, 2].astype(np.float32),
+            "id": np.arange(len(tie_idx), dtype=np.uint32),
+        }}))
+        for i in range(n_img):
+            rows = np.flatnonzero(
+                (obs_img == i) & ~is_ctrl[obs_pt])
+            ids = np.array([ps_id_of[int(j)] for j in obs_pt[rows]],
+                           np.int32)
+            z.writestr(f"projections{i}.ply", ply_bytes({"vertex": {
+                "x": ip[rows, 0].astype(np.float32),
+                "y": ip[rows, 1].astype(np.float32),
+                "size": np.ones(len(rows), np.float32),
+                "id": ids,
+            }}))

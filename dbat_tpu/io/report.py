@@ -215,7 +215,7 @@ def write_report(project, info, path, damping="gna", conv_tol=1e-6,
     add(f"         Orientation:             on")
     add(f"         Global optimization:     on")
     add(f"         Calibration:             "
-        f"{'yes' if p.est_io.any() else 'no'}")
+        f"{'on' if p.est_io.any() else 'off'}")
     add(f"         Constraints:             off")
     add(f"         Maximum # of iterations: 20")
     add(f"         Convergence tolerance:   {conv_tol:g}")
@@ -280,14 +280,22 @@ def write_report(project, info, path, damping="gna", conv_tol=1e-6,
         io = p.io[j]
         # display with PM sign conventions
         disp = [io[0], io[1], -io[2], io[3], io[4]]
-        for k, nm in enumerate(IO_PARAM_NAMES):
-            unit = "mm" if k < 3 else ""
-            extra = []
-            if nm == "as" and np.isfinite(sig["B"][j, 0]):
-                extra.append(f"Significance: p={sig['B'][j,0]:.2f}")
-            if nm == "sk" and np.isfinite(sig["B"][j, 1]):
-                extra.append(f"Significance: p={sig['B'][j,1]:.2f}")
-            param_line(IO_PARAM_DESC[nm], disp[k], std_io[j, k], unit, extra)
+        for k, nm in enumerate(IO_PARAM_NAMES[:3]):
+            param_line(IO_PARAM_DESC[nm], disp[k], std_io[j, k], "mm")
+        # Sensor format (bundle_result_file.m camera block order:
+        # cc/px/py, format, K, P, as/sk, image size, resolutions).
+        # True physical sizes: the solver's sensor_px_size uses the y
+        # pixel size for both axes (the x/y difference lives in the
+        # 'as' parameter), but the report prints the real sensor.
+        if p.sensor_ss_size is not None:
+            fmt_w, fmt_h = p.sensor_ss_size[j]
+        else:
+            fmt_w = p.sensor_im_size[j, 0] * p.sensor_px_size[j, 0]
+            fmt_h = p.sensor_im_size[j, 1] * p.sensor_px_size[j, 1]
+        px_w = fmt_w / p.sensor_im_size[j, 0]
+        px_h = fmt_h / p.sensor_im_size[j, 1]
+        param_line("Format width", fmt_w, None, "mm")
+        param_line("Format height", fmt_h, None, "mm")
         for i in range(p.nK):
             ii = N_LIN + i
             extra = []
@@ -315,12 +323,58 @@ def write_report(project, info, path, damping="gna", conv_tol=1e-6,
                 extra.append(f"Significance: p={sig['P'][j]:.2f}")
             param_line(f"P{i+1} - decentering distortion {i+1}", -io[ii],
                        std_io[j, ii], "mm^(-3)", extra)
+        for k, nm in ((3, "as"), (4, "sk")):
+            extra = []
+            if nm == "as" and np.isfinite(sig["B"][j, 0]):
+                extra.append(f"Significance: p={sig['B'][j,0]:.2f}")
+            if nm == "sk" and np.isfinite(sig["B"][j, 1]):
+                extra.append(f"Significance: p={sig['B'][j,1]:.2f}")
+            param_line(IO_PARAM_DESC[nm], disp[k], std_io[j, k], "",
+                       extra)
         add(f"            Image width:")
         add(f"               Value:        {p.sensor_im_size[j,0]:.0f} px")
         add(f"            Image height:")
         add(f"               Value:        {p.sensor_im_size[j,1]:.0f} px")
-        add(f"            Pixel size:")
-        add(f"               Value:        {p.sensor_px_size[j,0]:.6g} mm")
+        add(f"            X resolution:")
+        add(f"               Value:        {1.0 / px_w:.6g} px/mm")
+        add(f"            Y resolution:")
+        add(f"               Value:        {1.0 / px_h:.6g} px/mm")
+        add(f"            Pixel width:")
+        add(f"               Value:        {px_w:.6g} mm")
+        add(f"            Pixel height:")
+        add(f"               Value:        {px_h:.6g} mm")
+        # Rated angle of view + largest corner distortion
+        # (bundle_result_file.m:436-459).
+        whd = np.array([fmt_w, fmt_h, np.hypot(fmt_w, fmt_h)])
+        aov = 2 * np.arctan(whd / (2 * io[0])) * 180 / np.pi
+        add(f"         Rated angle of view (h,v,d): ({aov[0]:.0f}, "
+            f"{aov[1]:.0f}, {aov[2]:.0f}) deg")
+        xx = np.array([0.5, p.sensor_im_size[j, 0] + 0.5])
+        yy = np.array([0.5, p.sensor_im_size[j, 1] + 0.5])
+        cx = np.array([xx[0], xx[0], xx[1], xx[1]])
+        cy = np.array([yy[0], yy[1], yy[1], yy[0]])
+        # Internal-sign frame (display negates py/K/P; the corner
+        # radii and the distortion magnitude are sign-invariant).
+        # Corner positions in mm through the solver's px->mm factor
+        # (both axes the collapsed y size, like the reference's
+        # pxSize after prob2dbatstruct.m:247).
+        xr = cx * p.sensor_px_size[j, 0] - io[1]
+        yr = cy * p.sensor_px_size[j, 1] + io[2]
+        r2 = xr**2 + yr**2
+        K = io[N_LIN:N_LIN + p.nK]
+        rad = sum(K[i] * r2 ** (i + 1) for i in range(p.nK))
+        P1 = io[N_LIN + p.nK] if p.nP > 0 else 0.0
+        P2 = io[N_LIN + p.nK + 1] if p.nP > 1 else 0.0
+        xc = xr * rad + P1 * (r2 + 2 * xr**2) + 2 * P1 * xr * yr
+        yc = yr * rad + P2 * (r2 + 2 * yr**2) + 2 * P2 * xr * yr
+        mx_d = float(np.max(np.abs(xc) + np.abs(yc)))
+        half_d = whd[2] / 2
+        # px conversion uses the solver's (y-collapsed) pixel size:
+        # the reference divides by pxSize(1,i), which prob2dbatstruct
+        # sets to the y size for both axes (prob2dbatstruct.m:243-247).
+        add(f"         Largest distortion: {mx_d:.2g} mm "
+            f"({mx_d / p.sensor_px_size[j, 0]:.1f} px, "
+            f"{mx_d / half_d * 100:.1f}% of half-diagonal)")
 
     # Precisions (bundle_result_file.m:461-514), with per-photo EO
     # correlation warnings (:483-509).
@@ -357,17 +411,44 @@ def write_report(project, info, path, damping="gna", conv_tol=1e-6,
     used = np.unique(p.obs_img)
     add(f"         Numbers used: {len(used)}")
     add("      Cameras")
-    add(f"         Total number: {len(cam_nos)}")
-    rect = coverage(p)
-    ch = coverage(p, convex_hull=True)
-    rad = radial_coverage(p)
-    add("            Photo point coverage:")
-    add(f"               Rectangular: {rect.min()*100:.0f}%-{rect.max()*100:.0f}%"
-        f" ({rect.mean()*100:.0f}% average)")
-    add(f"               Convex hull: {ch.min()*100:.0f}%-{ch.max()*100:.0f}%"
-        f" ({ch.mean()*100:.0f}% average)")
-    add(f"               Radial:      {rad.min()*100:.0f}%-{rad.max()*100:.0f}%"
-        f" ({rad.mean()*100:.0f}% average)")
+    add(f"         Total number: {len(cam_nos)} ({len(cam_nos)} simple, "
+        f"0 mixed)")
+    # Per-camera quality block with union coverage
+    # (bundle_result_file.m:524-554).  Cameras are identified by the
+    # leading image of each distinct IO block; photos of a camera are
+    # the images sharing its block.
+    io_block = np.asarray(p.io_block) if p.io_block is not None else None
+    for ci, j in enumerate(cam_nos):
+        add(f"         Camera{ci+1}:")
+        add(f"            Calibration:                   "
+            f"{'yes' if p.est_io[j].any() else '<not available>'}")
+        if io_block is not None:
+            cams_of = np.flatnonzero(
+                (io_block == io_block[j]).all(axis=1))
+        else:
+            cams_of = np.arange(p.n_img)
+        add(f"            Number of photos using camera: {len(cams_of)}")
+        rect = coverage(p, cams_of)
+        ch = coverage(p, cams_of, convex_hull=True)
+        rad = radial_coverage(p, cams_of)
+        u_rect = coverage(p, cams_of, union=True)[0]
+        u_ch = coverage(p, cams_of, convex_hull=True, union=True)[0]
+        u_rad = radial_coverage(p, cams_of, union=True)[0]
+        add("            Photo point coverage:")
+        add(f"               Rectangular: {rect.min()*100:.0f}%-"
+            f"{rect.max()*100:.0f}% ({rect.mean()*100:.0f}% average, "
+            f"{u_rect*100:.0f}% union)")
+        add(f"               Convex hull: {ch.min()*100:.0f}%-"
+            f"{ch.max()*100:.0f}% ({ch.mean()*100:.0f}% average, "
+            f"{u_ch*100:.0f}% union)")
+        add(f"               Radial:      {rad.min()*100:.0f}%-"
+            f"{rad.max()*100:.0f}% ({rad.mean()*100:.0f}% average, "
+            f"{u_rad*100:.0f}% union)")
+    add("      Photo Coverage")
+    add("         Reference points outside calibrated region:")
+    for ci, j in enumerate(cam_nos):
+        add(f"            Camera {ci+1}: "
+            f"{'none' if p.est_io[j].any() else '<not available>'}")
 
     add("      Point Measurements")
     n_cp = int(p.is_ctrl.sum())
@@ -434,6 +515,25 @@ def write_report(project, info, path, damping="gna", conv_tol=1e-6,
                     f"{col[jm]:.2g} (OP {p.op_id[jm]})")
     add("         Points with high correlations")
     add(f"            Points with correlation above 95%: {len(hi_op)}")
+    add(f"            Points with correlation above 99%: "
+        f"{len(high_point_correlations(cop, 0.99))}")
+    if len(hi_op):
+        # Top-5 distinct points by |corr|, signed percentage
+        # (bundle_result_file.m:707-722).
+        from ..solve.quality import point_correlations
+
+        cc = point_correlations(cop).reshape(-1)
+        order = np.argsort(-np.abs(cc))
+        add("            Points with highest correlations:")
+        printed = set()
+        for k in order:
+            pt = p.op_id[k // 3]
+            if pt in printed:
+                continue
+            printed.add(pt)
+            add(f"               Points {pt}: {100*cc[k]:.2f}")
+            if len(printed) >= 5:
+                break
 
     add("      Point Angles")
     for nm, mask in (("CP", p.is_ctrl), ("CCP", p.is_check),
@@ -443,53 +543,104 @@ def write_report(project, info, path, damping="gna", conv_tol=1e-6,
         add(f"         {nm}")
         if a_ok.any():
             ids = p.op_id[mask]
+            labels = [p.op_labels[k] for k in np.flatnonzero(mask)]
+
+            def _lab(i):
+                # CP/CCP lines carry the point label
+                # (bundle_result_file.m:760-787); OP lines do not.
+                return (f", label {labels[i]}" if nm != "OP"
+                        and labels[i] else "")
+
+            imin = int(np.nanargmin(a))
+            imax = int(np.nanargmax(a))
             add(f"            Minimum: {np.nanmin(a):.1f} degrees "
-                f"({nm} {ids[np.nanargmin(a)]})")
+                f"({nm} {ids[imin]}{_lab(imin)})")
             add(f"            Maximum: {np.nanmax(a):.1f} degrees "
-                f"({nm} {ids[np.nanargmax(a)]})")
+                f"({nm} {ids[imax]}{_lab(imax)})")
             add(f"            Average: {np.nanmean(a):.1f} degrees")
+            if nm == "OP":
+                # Smallest-angle table (bundle_result_file.m:799-817):
+                # every point below 1.1x the 3rd-smallest angle
+                # + 0.1 deg (capped at 80), at least 3 points.
+                order = np.argsort(a)
+                lim = min(a[order[min(2, len(order) - 1)]] * 1.1 + 0.1,
+                          80.0)
+                n_pts = min(max(int((a < lim).sum()), 3), len(order))
+                add("            Smallest angles (ID, angle [deg], "
+                    "vis in cameras)")
+                idx_all = np.flatnonzero(mask)
+                for i in order[:n_pts]:
+                    jj = idx_all[i]
+                    cams = np.sort(
+                        p.obs_img[p.obs_pt == jj]) + 1
+                    vis = " ".join(f"{c:4d}" for c in cams)
+                    add(f"               {ids[i]:6d}: {a[i]:5.2f} "
+                        f"({vis})")
         else:
             add("            Minimum: -")
             add("            Maximum: -")
             add("            Average: -")
 
-    # Ctrl/check tables.
-    add("      Ctrl measurements")
-    if n_cp:
+    # Ctrl/check tables (bundle_result_file.m:819-935: prior and
+    # posterior coordinate tables, the pos/std diff table, and the
+    # per-axis delta summary).
+    def _pt_tables(mask, kind):
+        sel = np.flatnonzero(mask)
+        ids = p.op_id[sel]
         add("         Prior")
         add("             id,        x,        y,        z,     stdx,"
             "     stdy,     stdz, label")
-        for j in np.flatnonzero(p.is_ctrl):
+        for j in sel:
             v = p.prior_op_val[j]
             sd = p.prior_op_std[j]
-            add(f"           {p.op_id[j]:4d}, {v[0]:8.3f}, {v[1]:8.3f}, "
+            add(f"         {p.op_id[j]:6d}, {v[0]:8.3f}, {v[1]:8.3f}, "
                 f"{v[2]:8.3f}, {sd[0]:8.3g}, {sd[1]:8.3g}, {sd[2]:8.3g}, "
                 f"{p.op_labels[j]}")
         add("         Posterior")
         add("             id,        x,        y,        z,     stdx,"
             "     stdy,     stdz, rays, label")
-        for j in np.flatnonzero(p.is_ctrl):
+        for j in sel:
             v = p.op[j]
             sd = np.nan_to_num(std_op[j])
-            add(f"           {p.op_id[j]:4d}, {v[0]:8.3f}, {v[1]:8.3f}, "
+            add(f"         {p.op_id[j]:6d}, {v[0]:8.3f}, {v[1]:8.3f}, "
                 f"{v[2]:8.3f}, {sd[0]:8.3g}, {sd[1]:8.3g}, {sd[2]:8.3g}, "
                 f"{int(rays[j]):4d}, {p.op_labels[j]}")
-        d = p.op[p.is_ctrl] - p.prior_op_val[p.is_ctrl]
+        d = p.op[sel] - p.prior_op_val[sel]
+        eps = np.finfo(float).eps
+        std1 = np.nan_to_num(std_op[sel])
+        std0 = np.asarray(p.prior_op_std[sel], float)
+        stdd = ((std1 + eps) / (std0 + eps) - 1.0) * 100.0
+        add("         Diff (pos=abs diff, std=rel diff)")
+        add("             id,        x,        y,        z,       xy,"
+            "      xyz,     stdx,     stdy,     stdz, rays, label")
+        for k, j in enumerate(sel):
+            add(f"         {p.op_id[j]:6d}, {d[k,0]:8.3f}, "
+                f"{d[k,1]:8.3f}, {d[k,2]:8.3f}, "
+                f"{np.hypot(d[k,0], d[k,1]):8.3f}, "
+                f"{np.linalg.norm(d[k]):8.3f}, {stdd[k,0]:7.1f}%, "
+                f"{stdd[k,1]:7.1f}%, {stdd[k,2]:7.1f}%, "
+                f"{int(rays[j]):4d}, {p.op_labels[j]}")
         dn = np.linalg.norm(d, axis=1)
-        jm = np.argmax(dn)
-        ctrl_ids = p.op_id[p.is_ctrl]
-        add("         Ctrl point delta")
-        add(f"            Max: {dn[jm]:.3f} ou (pt {ctrl_ids[jm]})")
+        jm = int(np.argmax(dn))
+        lab = p.op_labels[sel[jm]]
+        add(f"         {kind} point delta")
+        add(f"            Max: {dn[jm]:.3f} ou ({lab}, pt {ids[jm]})")
+        add("            Max X,Y,Z")
+        for ax, nm in enumerate("XYZ"):
+            ja = int(np.argmax(np.abs(d[:, ax])))
+            add(f"               {nm}: {np.abs(d[ja, ax]):.3f} ou "
+                f"({p.op_labels[sel[ja]]}, pt {ids[ja]})")
         add(f"            RMS: {np.sqrt(np.mean(dn**2)):.3f} ou "
-            f"(from {n_cp} items)")
+            f"(from {len(sel)} items)")
+
+    add("      Ctrl measurements")
+    if n_cp:
+        _pt_tables(p.is_ctrl, "Ctrl")
     else:
         add("         none")
     add("      Check measurements")
     if n_ccp:
-        d = p.op[p.is_check] - p.prior_op_val[p.is_check]
-        dn = np.linalg.norm(d, axis=1)
-        add(f"         Max: {np.max(dn):.3f} ou")
-        add(f"         RMS: {np.sqrt(np.mean(dn**2)):.3f} ou")
+        _pt_tables(p.is_check, "Check")
     else:
         add("         none")
     add("End of result file")

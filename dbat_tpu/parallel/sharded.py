@@ -313,12 +313,22 @@ class ShardedSchurOps(BundleOps):
 
         from ..solve.precision import with_highest_precision
 
-        self._assemble = jax.jit(with_highest_precision(self._assemble_impl))
-        self._solve_jit = jax.jit(with_highest_precision(self._solve_impl))
-        self._matvec_jit = jax.jit(with_highest_precision(self._matvec_impl))
-        self.weighted_residual = jax.jit(
+        # hoisted_jit (not plain jit): the sharded plan arrays are
+        # GLOBAL arrays on the mesh, and in a multi-process runtime a
+        # jit may not close over arrays spanning non-addressable
+        # devices — they must be arguments (which hoisting does
+        # anyway; it is also what keeps the compiled program free of
+        # baked constants, see BundleOps.hoisted_jit).
+        self._assemble = self.hoisted_jit(
+            with_highest_precision(self._assemble_impl))
+        self._solve_jit = self.hoisted_jit(
+            with_highest_precision(self._solve_impl))
+        self._matvec_jit = self.hoisted_jit(
+            with_highest_precision(self._matvec_impl))
+        self.weighted_residual = self.hoisted_jit(
             with_highest_precision(self._weighted_residual))
-        self.residuals = jax.jit(with_highest_precision(self._residuals))
+        self.residuals = self.hoisted_jit(
+            with_highest_precision(self._residuals))
 
     # ------------------------------------------------------------------
     def _smap(self, fn, in_specs, out_specs):

@@ -218,11 +218,14 @@ def _build_fused_run(ops, cap):
             return (x_new, n_new, code, term | at_floor, res_buf,
                     alpha_buf, rnorm, stall, sflag, rw_out)
 
+        # rw carry init must match the backend's residual layout (the
+        # sharded backend pads rows beyond ops.n_res); the value is
+        # never read — the body overwrites it before any exit.
         state = (x0, jnp.asarray(0, jnp.int32), jnp.asarray(OK, jnp.int32),
                  jnp.asarray(False), res_buf, alpha_buf,
                  jnp.asarray(jnp.finfo(dtype).max, dtype),
                  jnp.asarray(0, jnp.int32), jnp.asarray(False),
-                 jnp.zeros(ops.n_res, dtype))
+                 jnp.zeros_like(ops._weighted_residual(x0)))
         (x, n, code, done, res_buf, alpha_buf, _prev_rn, _stall,
          sflag, rw) = jax.lax.while_loop(cond, body, state)
         return x, n, code, res_buf, alpha_buf, rw, sflag

@@ -76,17 +76,26 @@ def high_io_correlations_cross(ciof: np.ndarray, entries: np.ndarray,
     return out
 
 
-def high_point_correlations(cop: np.ndarray, thres: float = 0.95):
-    """Count of points whose 3x3 covariance has |corr|>thres
-    (ref high_op_correlations.m)."""
+def point_correlations(cop: np.ndarray):
+    """Signed X-Y/X-Z/Y-Z correlations per point, (n_op, 3)
+    (ref high_op_correlations.m; non-finite entries zeroed)."""
     d = np.sqrt(np.einsum("jii->ji", cop))
     with np.errstate(divide="ignore", invalid="ignore"):
         c01 = cop[:, 0, 1] / (d[:, 0] * d[:, 1])
         c02 = cop[:, 0, 2] / (d[:, 0] * d[:, 2])
         c12 = cop[:, 1, 2] / (d[:, 1] * d[:, 2])
-    cc = np.abs(np.stack([c01, c02, c12], axis=1))
+    cc = np.stack([c01, c02, c12], axis=1)
     cc[~np.isfinite(cc)] = 0.0
-    return np.flatnonzero((cc > thres).any(axis=1))
+    return cc
+
+
+def high_point_correlations(cop: np.ndarray, thres: float = 0.95):
+    """Flat indices of per-point correlation VALUES with |corr|>thres
+    — the reference counts correlations, not points (each point
+    contributes up to three: X-Y, X-Z, Y-Z;
+    bundle_result_file.m:703-706 nnz(abs(vop)>0.95))."""
+    cc = point_correlations(cop)
+    return np.flatnonzero(np.abs(cc).reshape(-1) > thres)
 
 
 def significance(project, spec, cio: np.ndarray):

@@ -65,6 +65,18 @@ def main():
     t_sh, rn_sh = run(ShardedSchurOps(s, spec, mesh=mesh, dtype=jnp.float32),
                       "sharded(1-device mesh)")
 
+    # f32 drift acceptance bound (VERDICT r4 item 7): the two backends
+    # evaluate the same math with different reduction orders (padded
+    # per-shard segment sums + psum vs global segment sums), so after
+    # 10 f32 iterations the residual norms may differ by
+    # reduction-order noise amplified through the iteration — but
+    # bounded.  5e-4 relative is ~4x the worst observed (1.3e-4);
+    # exceeding it means a real numerical defect, not noise.
+    rel = abs(rn_sh - rn_un) / rn_un
+    assert rel < 5e-4, (
+        f"sharded-vs-unsharded residual drift {rel:.2e} exceeds the "
+        "5e-4 acceptance bound")
+
     dev = jax.devices()[0]
     lines = [
         "# Sharded backend overhead on the real chip (1-device mesh)",
@@ -80,7 +92,13 @@ def main():
         f"| ShardedSchurOps, mesh=1 TPU | {t_sh:.2f} | {100*t_sh:.0f} "
         f"| {t_sh/t_un:.2f}x |",
         "",
-        f"Residual-norm agreement: {rn_un:.4f} vs {rn_sh:.4f}.",
+        f"Residual-norm agreement: {rn_un:.4f} vs {rn_sh:.4f} "
+        f"(rel {rel:.1e}, asserted < 5e-4).  The drift is f32 "
+        "reduction-order noise — the sharded backend accumulates "
+        "padded per-shard segment sums and a psum where the unsharded "
+        "path does one global segment sum, and the per-step ~1e-7 "
+        "difference is amplified through 10 iterations; the f64 CPU "
+        "mesh pins exact agreement (tests/test_multichip.py, 6e-15).",
         "",
         "The 8-device correctness of the same backend is covered by "
         "tests/test_multichip.py on the virtual CPU mesh (full bundle "
