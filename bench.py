@@ -90,6 +90,10 @@ def _bench_roma_shape():
         r, damping="lm", dtype=jnp.float32, backend="schur",
         max_iter=40, conv_tol=1.02 * floor, abs_term=True)
     cold_s = time.time() - t0
+    # Gate EVERY run (cold included) on status AND the noise floor: a
+    # cold-path-only divergence that still exits OK must zero the
+    # metric, not hide behind a clean final warm run.
+    ok = bool(ok) and float(sigma0) < 1.05
     warm_s = float("inf")
     for _ in range(2):
         r2 = net()
@@ -98,8 +102,8 @@ def _bench_roma_shape():
             r2, damping="lm", dtype=jnp.float32, backend="schur",
             max_iter=40, conv_tol=1.02 * floor, abs_term=True)
         warm_s = min(warm_s, time.time() - t0)
-        ok = ok and ok2
-    out = {"ok": bool(ok) and float(sigma0) < 1.05,
+        ok = ok and bool(ok2) and float(sigma0) < 1.05
+    out = {"ok": ok,
            "cold_s": cold_s, "warm_s": warm_s, "iters": int(iters),
            "sigma0": float(sigma0)}
     print(

@@ -65,11 +65,13 @@ def ply_read(path: str) -> dict:
     return out
 
 
-def ply_write(path: str, elements: dict, fmt: str = "binary_little_endian"):
+def ply_write(path, elements: dict, fmt: str = "binary_little_endian"):
     """Write a PLY file (ref code/xchg/ply_write.m).
 
     elements: {element_name: {prop_name: array}} — all arrays in an
     element must share length; dtypes map to PLY scalar types.
+    `path` may be a filesystem path or a binary file object (e.g.
+    io.BytesIO for in-memory archives).
     """
     inv = {"i1": "char", "u1": "uchar", "i2": "short", "u2": "ushort",
            "i4": "int", "u4": "uint", "f4": "float", "f8": "double"}
@@ -93,7 +95,8 @@ def ply_write(path: str, elements: dict, fmt: str = "binary_little_endian"):
             rec[p] = v
         bodies.append(rec)
     header.append("end_header")
-    with open(path, "wb") as fh:
+
+    def _emit(fh):
         fh.write(("\n".join(header) + "\n").encode("ascii"))
         if fmt == "ascii":
             for rec in bodies:
@@ -103,3 +106,9 @@ def ply_write(path: str, elements: dict, fmt: str = "binary_little_endian"):
         else:
             for rec in bodies:
                 fh.write(rec.tobytes())
+
+    if hasattr(path, "write"):
+        _emit(path)
+    else:
+        with open(path, "wb") as fh:
+            _emit(fh)

@@ -710,12 +710,9 @@ def write_psz(path: str, s, tie_acc_px: float = 1.0,
     op_l = (G2L @ op_g.T).T[:, :3]
 
     def ply_bytes(elements):
-        import tempfile as tf
-
-        with tf.NamedTemporaryFile(suffix=".ply") as fh:
-            ply_write(fh.name, elements)
-            fh.seek(0)
-            return fh.read()
+        buf = io_mod.BytesIO()
+        ply_write(buf, elements)
+        return buf.getvalue()
 
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
         z.writestr("doc.xml", "\n".join(x) + "\n")

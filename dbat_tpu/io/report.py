@@ -365,6 +365,13 @@ def write_report(project, info, path, damping="gna", conv_tol=1e-6,
         rad = sum(K[i] * r2 ** (i + 1) for i in range(p.nK))
         P1 = io[N_LIN + p.nK] if p.nP > 0 else 0.0
         P2 = io[N_LIN + p.nK + 1] if p.nP > 1 else 0.0
+        # Deliberately reproduces the REFERENCE's formula including
+        # its nonstandard cross terms (bundle_result_file.m:447-450
+        # uses 2*P1*x*y in x and 2*P2*x*y in y; standard Brown — and
+        # this repo's own models/primitives.py — has 2*P2 in x and
+        # 2*P1 in y).  This line is a display statistic diffed
+        # against reports generated WITH that formula; the actual
+        # projection model is unaffected.
         xc = xr * rad + P1 * (r2 + 2 * xr**2) + 2 * P1 * xr * yr
         yc = yr * rad + P2 * (r2 + 2 * yr**2) + 2 * P2 * xr * yr
         mx_d = float(np.max(np.abs(xc) + np.abs(yc)))

@@ -55,9 +55,16 @@ def parse_report(text: str):
             continue
         indent = len(raw) - len(raw.lstrip())
         line = raw.strip()
-        # Path-valued lines: compare the label only.
-        if ":" in line and "/" in line.split(":", 1)[1]:
-            line = line.split(":", 1)[0] + ":"
+        # Path-valued lines: compare the label only.  A token counts
+        # as a path when it starts like one (/, \\, ..) or ends in a
+        # file extension — NOT merely containing '/', which would
+        # also swallow unit strings like '326.797 px/mm' and exempt
+        # the resolution values from comparison.
+        if ":" in line:
+            val_toks = line.split(":", 1)[1].split()
+            if any(t.startswith(("/", "\\", "..", "images/"))
+                   or re.search(r"/[^/]+\.\w+$", t) for t in val_toks):
+                line = line.split(":", 1)[0] + ":"
         toks = _NUM_RE.findall(line)
         # Collapse whitespace runs: the reference pads value columns
         # to the longest label in each table, so identical fields can

@@ -42,19 +42,24 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 #: loc(...) operand metadata and trailing #loc tables: parts of the
-#: StableHLO text that vary across call sites / line shifts.
-_LOC_RE = re.compile(r"loc\(.*\)")
+#: StableHLO text that vary across call sites / line shifts.  The loc
+#: pattern tolerates one nesting level (loc(callsite("f" at "g")))
+#: without the greedy-to-end-of-line behavior that would also eat
+#: semantic text after a mid-line loc.
+_LOC_RE = re.compile(r"loc\((?:[^()]|\([^()]*\))*\)")
 _LOCTAB_RE = re.compile(r"^#loc.*$", re.MULTILINE)
 #: Serialized Mosaic (Pallas) kernel bodies inside tpu_custom_call
 #: backend_configs: base64 MLIR bytecode whose string table embeds the
 #: *trace-time Python call stack* (script filename, caller function
 #: names), so the same kernel traced from two scripts hashes
-#: differently.  The blobs are dropped from the key text; kernel
-#: semantics are covered by the operand/result shapes + kernel_name
-#: that stay in the line, plus a source hash of the kernel-defining
-#: modules (_KERNEL_SOURCES below) so real kernel-code edits still
-#: invalidate.
-_B64_RE = re.compile(r"[A-Za-z0-9+/]{256,}={0,2}")
+#: differently.  ONLY the `body` payload of a custom_call config is
+#: dropped (a broad "any long base64-ish run" pattern would also
+#: strip hex-printed dense CONSTANTS, letting two programs that
+#: differ only in baked data share a key).  Kernel semantics stay
+#: covered by the operand/result shapes + kernel_name in the
+#: surrounding line, plus a source hash of the kernel-defining
+#: modules (_KERNEL_SOURCES) so real kernel-code edits invalidate.
+_B64_RE = re.compile(r'\\22body\\22: \\22[A-Za-z0-9+/=]+\\22')
 _KERNEL_SOURCES = ("pallas_kernels.py", "flatsel.py")
 
 
@@ -95,10 +100,17 @@ def canonical_key(lowered) -> str:
     txt = lowered.as_text()
     txt = _LOC_RE.sub("", txt)
     txt = _LOCTAB_RE.sub("", txt)
-    txt = _B64_RE.sub("<blob>", txt)
+    txt = _B64_RE.sub("<mosaic>", txt)
     devs = jax.devices()
+    # The LOWERING's target platform, not the process default: a
+    # jax.default_device(cpu)-pinned lowering on a TPU host must not
+    # share an entry with the TPU lowering of the same HLO.
+    try:
+        platforms = ",".join(lowered._lowering._platforms)
+    except AttributeError:
+        platforms = jax.default_backend()
     sig = "|".join([
-        txt, _kernel_src_hash(), jax.__version__,
+        txt, _kernel_src_hash(), jax.__version__, platforms,
         devs[0].device_kind, str(len(devs)),
     ])
     return hashlib.sha256(sig.encode()).hexdigest()[:32]
@@ -131,18 +143,21 @@ def load(key: str):
 
 def store(key: str, compiled) -> str | None:
     """Serialize a compiled executable into the machine store (atomic
-    write); returns the path, or None if this executable cannot be
-    serialized (e.g. jit-of-callback programs)."""
+    write); returns the path, or None on ANY failure — unserializable
+    executables, but also a read-only or full store directory.  A
+    store failure must never propagate: the caller holds a finished
+    executable worth ~60-140 s of compile, and raising here would
+    make it recompile from scratch."""
     from jax.experimental import serialize_executable as se
 
     try:
         payload = se.serialize(compiled)
+        _snap, rw = _stores()
+        os.makedirs(rw, exist_ok=True)
+        path = os.path.join(rw, key + ".aotx")
+        fd, tmp = tempfile.mkstemp(dir=rw, suffix=".tmp")
     except Exception:  # noqa: BLE001
         return None
-    _snap, rw = _stores()
-    os.makedirs(rw, exist_ok=True)
-    path = os.path.join(rw, key + ".aotx")
-    fd, tmp = tempfile.mkstemp(dir=rw, suffix=".tmp")
     try:
         with os.fdopen(fd, "wb") as fh:
             pickle.dump(payload, fh)

@@ -393,9 +393,17 @@ def _build_fused_lm_run(ops, cap):
             # step, gated on prev_lambda == 0 — i.e. the PREVIOUS
             # accepted step left lambda at 0 (pal), and this iteration's
             # solve satisfies ||Jp|| <= tol ||r|| at the new point.
+            # The host's inner loop also exits on ITERATION EXHAUSTION
+            # without an accept and still runs the same check (its
+            # convergence test sits after the inner while) — without
+            # that arm, an f32 run at the optimum whose lam-0 trial
+            # rounds to no improvement would burn max_iter and return
+            # TOO_MANY_ITERS where the host returns OK.
             crit = jnp.where(abs_term, rn_new <= tol,
                              jp_norm <= tol * rn_new)
-            term = accept & (s["pal"] == 0.0) & crit
+            pal0 = s["pal"] == 0.0
+            exhausted = (~failed) & (n_new > max_iter)
+            term = (accept | exhausted) & pal0 & crit
             pal = jnp.where(accept, lam_new, s["pal"])
             # f32 floor-stall rule on accepted steps.
             stalled = accept & (
