@@ -60,6 +60,11 @@ _LOCTAB_RE = re.compile(r"^#loc.*$", re.MULTILINE)
 #: surrounding line, plus a source hash of the kernel-defining
 #: modules (_KERNEL_SOURCES) so real kernel-code edits invalidate.
 _B64_RE = re.compile(r'\\22body\\22: \\22[A-Za-z0-9+/=]+\\22')
+#: The module symbol embeds the jitted wrapper's Python function name
+#: (`module @jit_wrapper`): normalized so a rename of the wrapper (or
+#: differently named call paths producing identical programs) does
+#: not split the store.
+_MODNAME_RE = re.compile(r"module @jit_[\w.]*")
 _KERNEL_SOURCES = ("pallas_kernels.py", "flatsel.py")
 
 
@@ -101,6 +106,9 @@ def canonical_key(lowered) -> str:
     txt = _LOC_RE.sub("", txt)
     txt = _LOCTAB_RE.sub("", txt)
     txt = _B64_RE.sub("<mosaic>", txt)
+    # Normalized to the hoisted_jit production name so pre-existing
+    # store entries stay valid.
+    txt = _MODNAME_RE.sub("module @jit_wrapper", txt)
     devs = jax.devices()
     # The LOWERING's target platform, not the process default: a
     # jax.default_device(cpu)-pinned lowering on a TPU host must not
